@@ -1,0 +1,184 @@
+"""Datapoint stage: matched+transformed lines -> long-format metric rows.
+
+Reimplements ``datapool.go:59-215`` (tag extraction, value scaling,
+cross-group arithmetic, key fan-out) as pure Catalyst expressions —
+the fan-out is a config-driven ``explode(array(struct...))`` that the
+optimizer sees through (column pruning + codegen; no UDF).
+
+Output schema (one row per dataPoint, ``datapool.go:14-19``):
+
+- ``key_id``      string   — full series identity (name template + tags)
+- ``group``       string   — log group name
+- ``metric_type`` string   — meter | histogram | counter
+- ``key_prefix``, ``key_suffix``, ``tags`` (sorted ``k=v`` string,
+  ``datapool.go:59-90``), ``ref_tag`` (per-reference tag)
+- ``never_stale`` boolean
+- ``ts_sec``      long     — event time, unix seconds
+- ``value``       long     — int64 value contract (``datapool.go:16``)
+- ``record_id``   long     — deterministic 52-bit id (md5 of
+  url|ts|line_no), drives the reservoir's reproducible randomness
+
+Value semantics (``datapool.go:138-207``):
+
+- position 0 => constant 1 (count-a-line, ``README.md:103``);
+- ``format="int"``: int64 parse, then ``*multiply`` then integer
+  ``/divide`` (each only when >1, matching the reference's guards);
+- ``format="float"``: float parse then scale then truncate to int64;
+  the reference's multiply==divide==1 => stays-0 quirk
+  (``datapool.go:150-155``) is behind ``compat.float_noscale_zero``;
+- any referenced group failing to parse drops the WHOLE line
+  (``datapool.go:168-171``);
+- ``add``/``sub`` operands are int64 parses of the referenced
+  positions, position-0 operands skipped (``datapool.go:179-201``);
+  a negative result drops the line when ``warn_on_operation_fail``
+  (``datapool.go:203-207``);
+- ``compat.cumulative_ops`` replays the reference's shared-value
+  mutation across references at the same position (block order;
+  ``datapool.go:181-211``); default computes each reference
+  independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import LogGroup, MetricDef, MetricRef
+
+DATAPOINT_COLS = (
+    "key_id", "group", "metric_type", "key_prefix", "key_suffix",
+    "tags", "ref_tag", "never_stale", "ts_sec", "value", "record_id",
+)
+
+
+def md5_52bit(col: Column) -> Column:
+    """First 52 bits of md5 as a long — the engine-wide deterministic
+    hash (reproducible in Python via hashlib and in DuckDB via md5)."""
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
+def _tag_pairs(lg: LogGroup, extra_tag_cols: dict[str, Column]) -> list[tuple[str, Column]]:
+    """(name, value-column) for every tag, alphabetical by name
+    (``datapool.go:59-69``: sort order is part of the key contract).
+    Enrichment columns (broadcast lookup) join the same namespace."""
+    pairs: dict[str, Column] = {}
+    for name, pos_or_lit in lg.tags:
+        if isinstance(pos_or_lit, int):
+            pairs[name] = F.col(f"g{pos_or_lit}")
+        else:
+            pairs[name] = F.lit(pos_or_lit)
+    pairs.update(extra_tag_cols)
+    return [(n, pairs[n]) for n in sorted(pairs)]
+
+
+def tags_expr(lg: LogGroup, extra_tag_cols: dict[str, Column] | None = None) -> Column:
+    pairs = _tag_pairs(lg, extra_tag_cols or {})
+    if not pairs:
+        return F.lit("")
+    parts = [F.concat(F.lit(f"{name}="), F.coalesce(val, F.lit(""))) for name, val in pairs]
+    return F.concat_ws(" ", *parts)
+
+
+def _base_value(lg: LogGroup, m: MetricDef, ref: MetricRef) -> Column:
+    """Scaled int64 value for one reference (``datapool.go:138-177``)."""
+    if ref.position == 0:
+        return F.lit(1).cast("long")
+    g = F.col(f"g{ref.position}")
+    if m.value_format == "float":
+        v = g.try_cast("double")
+        if m.multiply == 1 and m.divide == 1:
+            if lg.compat.float_noscale_zero:
+                return F.when(v.isNotNull(), F.lit(0)).cast("long")
+            return v.cast("long")  # truncate toward zero
+        if m.multiply > 1:
+            v = v * F.lit(float(m.multiply))
+        if m.divide > 1:
+            v = v / F.lit(float(m.divide))
+        return v.cast("long")
+    v = g.try_cast("long")
+    if m.multiply > 1:
+        v = v * F.lit(m.multiply)
+    if m.divide > 1:
+        v = (v / F.lit(m.divide)).cast("long")  # integer truncation
+    return v
+
+
+def _apply_ops(base: Column, ref: MetricRef) -> Column:
+    for pos in ref.add:
+        if pos != 0:  # position-0 operands skipped (datapool.go:191)
+            base = base + F.col(f"g{pos}").try_cast("long")
+    for pos in ref.sub:
+        if pos != 0:
+            base = base - F.col(f"g{pos}").try_cast("long")
+    return base
+
+
+def datapoint_stage(
+    df: DataFrame, lg: LogGroup, extra_tag_cols: dict[str, Column] | None = None
+) -> DataFrame:
+    """Fan one matched line out into ``lg.nb_keys()`` datapoint rows."""
+    tags = tags_expr(lg, extra_tag_cols)
+    ts_sec = F.unix_timestamp(F.col("event_ts")).cast("long")
+
+    structs: list[Column] = []
+    drop_if_null: list[Column] = []
+    negative_guards: list[Column] = []
+    for m in lg.metrics:
+        running: dict[int, Column] = {}  # compat.cumulative_ops state
+        for ref in m.references:
+            if lg.compat.cumulative_ops:
+                base = running.get(ref.position, _base_value(lg, m, ref))
+                val = _apply_ops(base, ref)
+                running[ref.position] = val
+            else:
+                val = _apply_ops(_base_value(lg, m, ref), ref)
+            structs.append(
+                F.struct(
+                    F.lit(m.key_suffix).alias("key_suffix"),
+                    F.lit(m.metric_type).alias("metric_type"),
+                    F.lit(ref.tag).alias("ref_tag"),
+                    F.lit(m.never_stale).alias("never_stale"),
+                    val.alias("value"),
+                )
+            )
+            drop_if_null.append(val)
+            if lg.warn_on_operation_fail and (ref.add or ref.sub):
+                negative_guards.append(val)
+
+    cond = F.lit(True)
+    for v in drop_if_null:
+        cond = cond & v.isNotNull()
+    for v in negative_guards:
+        cond = cond & (v >= 0)
+    df = df.filter(cond)
+
+    df = df.select(
+        F.lit(lg.name).alias("group"),
+        F.lit(lg.key_prefix).alias("key_prefix"),
+        tags.alias("tags"),
+        ts_sec.alias("ts_sec"),
+        md5_52bit(
+            F.concat_ws("|", F.col("url"), ts_sec, F.col("line_no"))
+        ).alias("record_id"),
+        F.explode(F.array(*structs)).alias("dp"),
+    )
+    df = df.select(
+        "group", "key_prefix", "tags", "ts_sec", "record_id",
+        F.col("dp.key_suffix").alias("key_suffix"),
+        F.col("dp.metric_type").alias("metric_type"),
+        F.col("dp.ref_tag").alias("ref_tag"),
+        F.col("dp.never_stale").alias("never_stale"),
+        F.col("dp.value").alias("value"),
+    )
+    key_id = F.concat_ws(
+        "|",
+        F.concat(F.col("key_prefix"), F.lit("."), F.col("key_suffix")),
+        F.col("metric_type"),
+        F.col("tags"),
+        F.col("ref_tag"),
+    )
+    return df.select(
+        key_id.alias("key_id"), "group", "metric_type", "key_prefix",
+        "key_suffix", "tags", "ref_tag", "never_stale", "ts_sec", "value",
+        "record_id",
+    )

@@ -1,0 +1,104 @@
+"""End-to-end pipeline assembly: pages table -> per-sink routed tables.
+
+Mirrors the reference daemon's dataflow (``main/logmetrics_collector.go``,
+SURVEY.md §3.1) as one declarative DataFrame plan per log group:
+
+    scan(pages) -> parse (split/guard native + regex-suite pandas UDF)
+                -> transform (Catalyst exprs)
+                -> enrich (broadcast lookup)
+                -> datapoint fan-out (explode)
+                -> phase-A partial agg (native sums + reservoir combiner)
+                -> phase-B per-key crunch (applyInPandas)
+                -> route (line render + md5 sink hash)
+                -> per-sink partitioned write + stats tables
+
+Catalyst/Tungsten replace the reference's goroutines+channels; the
+shuffle between fan-out and phase A replaces the file->datapool
+modulo partitioning (``logtail.go:209-217``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import LogGroup, PipelineConfig
+from ..operators.aggregate import aggregate_stage
+from ..operators.datapoints import datapoint_stage
+from ..operators.enrich import enrich_stage
+from ..operators.parse import parse_stage
+from ..operators.route import pool_stats, pusher_stats, route_stage, write_routed
+from ..operators.transform import transform_stage
+from ..sources.tableio import TableIO
+
+
+@dataclass
+class PipelineResult:
+    routed: DataFrame
+    emissions: DataFrame
+    stats: dict = field(default_factory=dict)
+
+
+def build_datapoints(
+    pages: DataFrame, lg: LogGroup, lookup: DataFrame | None = None
+) -> DataFrame:
+    matched = parse_stage(pages, lg)
+    matched = transform_stage(matched, lg)
+    matched, extra_tags = enrich_stage(matched, lg, lookup)
+    return datapoint_stage(matched, lg, extra_tags)
+
+
+def build_emissions(
+    pages: DataFrame,
+    lg: LogGroup,
+    lookup: DataFrame | None = None,
+    global_last_w: int | None = None,
+) -> DataFrame:
+    dp = build_datapoints(pages, lg, lookup)
+    return aggregate_stage(dp, lg, global_last_w)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    pages: DataFrame,
+    io: TableIO | None = None,
+    lookups: dict[str, DataFrame] | None = None,
+    write: bool = True,
+) -> PipelineResult:
+    """Run every configured log group and union the routed output."""
+    lookups = lookups or {}
+    routed_parts: list[DataFrame] = []
+    emission_parts: list[DataFrame] = []
+    stats: dict = {}
+
+    for lg in cfg.log_groups:
+        emissions = build_emissions(pages, lg, lookups.get(lg.lookup or ""))
+        routed = route_stage(emissions, cfg.settings)
+        emission_parts.append(emissions)
+        routed_parts.append(routed)
+
+    all_emissions = emission_parts[0]
+    for part in emission_parts[1:]:
+        all_emissions = all_emissions.unionByName(part)
+    all_routed = routed_parts[0]
+    for part in routed_parts[1:]:
+        all_routed = all_routed.unionByName(part)
+
+    if write and io is not None:
+        manifest = write_routed(all_routed, io)
+        stats["routed_manifest"] = manifest
+        # internal stats tables (data_pool.* / pusher.*)
+        routed_back = io.read(spark, "routed")
+        io.write(pusher_stats(routed_back), "stats_pusher", manifest_extra={"kind": "stats"})
+        for lg in cfg.log_groups:
+            pass  # pool stats computed over the union below
+        io.write(
+            pool_stats(all_emissions, cfg.log_groups[0]),
+            "stats_pool",
+            manifest_extra={"kind": "stats"},
+        )
+
+    return PipelineResult(routed=all_routed, emissions=all_emissions, stats=stats)
