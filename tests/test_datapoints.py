@@ -1,0 +1,112 @@
+"""Datapoint fan-out tests: values, scaling, ops, quirk flags
+(the executable version of SURVEY.md §2.2 rows)."""
+
+import dataclasses
+
+import pandas as pd
+
+from logmetrics_spark.config import load_config_str
+from logmetrics_spark.plans.pipeline import build_datapoints
+
+CFG = """
+[log_groups.g]
+url_match = '^https://x/'
+re = ['v=(\\d+)\\sf=(\\S+)\\shost=(\\w+)\\sa=(\\d+)\\sb=(\\d+)']
+expected_matches = 5
+key_prefix = "t"
+default_year = 2024
+[log_groups.g.tags]
+host = 3
+[[log_groups.g.metrics.meter]]
+key_suffix = "lines"
+reference = [[0, ""]]
+[[log_groups.g.metrics.counter]]
+key_suffix = "v.sum"
+multiply = 10
+reference = [[1, "kind=x10"]]
+[[log_groups.g.metrics.histogram]]
+key_suffix = "f.scaled"
+format = "float"
+divide = 2
+reference = [[2, ""]]
+[[log_groups.g.metrics.histogram]]
+key_suffix = "diff"
+reference = [[4, "k=net", { sub = [5] }], [4, "k=raw"]]
+"""
+
+
+def _mk_pages(spark, text):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [("https://x/p", pd.Timestamp("2024-02-01 00:00:05"), b"", text, "en")],
+            columns=["url", "warc_ts", "html", "text", "lang"],
+        )
+    )
+
+
+def test_fanout_values_and_scaling(spark):
+    cfg = load_config_str(CFG)
+    lg = cfg.log_groups[0]
+    assert lg.nb_keys() == 5
+    dp = build_datapoints(_mk_pages(spark, "v=7 f=9.8 host=h1 a=100 b=30"), lg)
+    rows = {(r["key_suffix"], r["ref_tag"]): r for r in dp.collect()}
+    assert len(rows) == 5
+    assert rows[("lines", "")]["value"] == 1  # position 0 => 1
+    assert rows[("v.sum", "kind=x10")]["value"] == 70  # 7 * 10
+    assert rows[("f.scaled", "")]["value"] == 4  # int(9.8 / 2)
+    assert rows[("diff", "k=net")]["value"] == 70  # 100 - 30
+    assert rows[("diff", "k=raw")]["value"] == 100  # independent (fixed quirk)
+    assert all(r["tags"] == "host=h1" for r in rows.values())
+    assert rows[("lines", "")]["metric_type"] == "meter"
+    assert rows[("v.sum", "kind=x10")]["metric_type"] == "counter"
+
+
+def test_unparseable_value_drops_whole_line(spark):
+    cfg = load_config_str(CFG)
+    lg = cfg.log_groups[0]
+    # f=abc breaks the float reference -> all 5 datapoints dropped
+    dp = build_datapoints(_mk_pages(spark, "v=7 f=abc host=h1 a=1 b=2"), lg)
+    assert dp.count() == 0
+
+
+def test_cumulative_ops_compat(spark):
+    compat = CFG + "\n[log_groups.g.compat]\ncumulative_ops = true\n"
+    lg = load_config_str(compat).log_groups[0]
+    dp = build_datapoints(_mk_pages(spark, "v=7 f=9.8 host=h1 a=100 b=30"), lg)
+    rows = {(r["key_suffix"], r["ref_tag"]): r["value"] for r in dp.collect()}
+    # reference quirk: 2nd ref at same position sees 1st ref's result
+    assert rows[("diff", "k=net")] == 70
+    assert rows[("diff", "k=raw")] == 70
+
+
+def test_float_noscale_zero_compat(spark):
+    compat = CFG + "\n[log_groups.g.compat]\nfloat_noscale_zero = true\n"
+    base = compat.replace("divide = 2\n", "")
+    lg = load_config_str(base).log_groups[0]
+    dp = build_datapoints(_mk_pages(spark, "v=7 f=9.8 host=h1 a=100 b=30"), lg)
+    rows = {(r["key_suffix"], r["ref_tag"]): r["value"] for r in dp.collect()}
+    assert rows[("f.scaled", "")] == 0  # datapool.go:150-155 quirk replayed
+
+
+def test_negative_guard_drops_line_when_flagged(spark):
+    flagged = CFG + "\nwarn_on_operation_fail = true\n"
+    # invalid TOML append location — rebuild properly
+    flagged = CFG.replace(
+        'default_year = 2024', 'default_year = 2024\nwarn_on_operation_fail = true'
+    )
+    lg = load_config_str(flagged).log_groups[0]
+    dp = build_datapoints(_mk_pages(spark, "v=7 f=9.8 host=h1 a=10 b=30"), lg)
+    assert dp.count() == 0  # 10-30 < 0 -> whole line dropped
+
+
+def test_key_id_and_record_id_deterministic(spark):
+    cfg = load_config_str(CFG)
+    lg = cfg.log_groups[0]
+    dp1 = build_datapoints(_mk_pages(spark, "v=7 f=9.8 host=h1 a=100 b=30"), lg).collect()
+    dp2 = build_datapoints(_mk_pages(spark, "v=7 f=9.8 host=h1 a=100 b=30"), lg).collect()
+    assert sorted(r["record_id"] for r in dp1) == sorted(r["record_id"] for r in dp2)
+    import hashlib
+
+    ts = int(pd.Timestamp("2024-02-01 00:00:05").timestamp())
+    expect = int(hashlib.md5(f"https://x/p|{ts}|0".encode()).hexdigest()[:13], 16)
+    assert dp1[0]["record_id"] == expect

@@ -1,0 +1,47 @@
+"""Golden end-to-end: engine routed rows == sequential oracle, and
+partition invariance (the north_rule correctness gates)."""
+
+import collections
+
+from logmetrics_spark.oracle import run_oracle
+from logmetrics_spark.plans.pipeline import run_pipeline
+from logmetrics_spark.sources.synth import gen_hosts_lookup_dict, gen_hosts_lookup_pdf
+
+
+def _engine_rows(spark, cfg, pages):
+    lk = {"hosts": spark.createDataFrame(gen_hosts_lookup_pdf())}
+    res = run_pipeline(spark, cfg, pages, io=None, lookups=lk, write=False)
+    return collections.Counter(
+        (r["line"], r["sink"]) for r in res.routed.collect()
+    )
+
+
+def _oracle_rows(pages_pdf, cfg):
+    return collections.Counter(
+        (r["line"], r["sink"])
+        for r in run_oracle(pages_pdf.to_dict("records"), cfg, {"hosts": gen_hosts_lookup_dict()})
+    )
+
+
+def test_rest_api_routed_row_equality(spark, pages, pages_pdf, rest_cfg):
+    assert _engine_rows(spark, rest_cfg, pages) == _oracle_rows(pages_pdf, rest_cfg)
+
+
+def test_apache_routed_row_equality(spark, pages, pages_pdf, apache_cfg):
+    assert _engine_rows(spark, apache_cfg, pages) == _oracle_rows(pages_pdf, apache_cfg)
+
+
+def test_partition_invariance(spark, pages, apache_cfg):
+    """Distributed execution must not depend on physical partitioning."""
+    one = _engine_rows(spark, apache_cfg, pages.repartition(1))
+    many = _engine_rows(spark, apache_cfg, pages.repartition(13))
+    assert one == many
+
+
+def test_per_sink_counts(spark, pages, pages_pdf, rest_cfg):
+    eng = _engine_rows(spark, rest_cfg, pages)
+    orc = _oracle_rows(pages_pdf, rest_cfg)
+    eng_sinks = collections.Counter(s for _, s in eng.elements())
+    orc_sinks = collections.Counter(s for _, s in orc.elements())
+    assert eng_sinks == orc_sinks
+    assert len(eng_sinks) == rest_cfg.settings.push_number

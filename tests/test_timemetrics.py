@@ -1,0 +1,172 @@
+"""Metric math unit + property tests (SURVEY.md §5).
+
+Pins the spec: EWMA formula, reservoir top-s equivalence (row path ==
+partial path), percentile interpolation, stale/zero semantics.
+"""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from logmetrics_spark.timemetrics import (
+    CounterState,
+    HistogramState,
+    MeterState,
+    det_uniform,
+    format_value,
+    np_priorities,
+    np_uniform_from_hash52,
+    sample_percentile,
+)
+
+
+def test_counter_sum_and_zero():
+    c = CounterState()
+    c.update(10, 5)
+    c.update(20, 7)
+    assert c.snapshot() == {"count": 12}
+    assert c.last_update == 20
+    c.zero_out()
+    assert c.snapshot()["count"] == 0
+
+
+def test_meter_ewma_formula():
+    m = MeterState(tick_seconds=30)
+    # tick 0: 60 events in [0,30) -> instant rate 2/s, initializes EWMAs
+    m.update(5, 60)
+    m.tick_to(30)
+    s = m.snapshot()
+    assert s["count"] == 60
+    assert s["rate._1min"] == 2.0 == s["rate._5min"] == s["rate._15min"]
+    # tick 1: empty -> decay by alpha = 1 - exp(-30/60/m)
+    m.tick_to(60)
+    s = m.snapshot()
+    a1 = 1 - math.exp(-30 / 60 / 1)
+    assert abs(s["rate._1min"] - (2.0 + a1 * (0 - 2.0))) < 1e-12
+    assert s["rate._5min"] > s["rate._1min"]  # slower window decays less
+
+
+def test_meter_partial_equals_row_path():
+    rows = [(3, 2), (17, 5), (31, 1), (64, 9), (65, 4)]
+    a = MeterState(tick_seconds=30)
+    for ts, v in rows:
+        a.update(ts, v)
+    a.tick_to(90)
+    b = MeterState(tick_seconds=30)
+    # per-tick sums: tick0: 7, tick1: 1, tick2: 13
+    b.merge_partial(0, 7, 17)
+    b.merge_partial(1, 1, 31)
+    b.merge_partial(2, 13, 65)
+    b.tick_to(90)
+    assert a.snapshot() == b.snapshot()
+    assert a.last_update == b.last_update
+
+
+def test_histogram_reservoir_cap_and_stats():
+    h = HistogramState(size=8, alpha=0.0)  # alpha 0: priority = -ln(u) only
+    for i in range(100):
+        h.update(i, i, "k", i)
+    s = h.snapshot()
+    assert s["sample_size"] == 8
+    assert s["min"] <= s["p50"] <= s["p75"] <= s["p95"] <= s["p99"] <= s["p999"] <= s["max"]
+
+
+def test_histogram_row_path_equals_candidate_merge():
+    vals = [(100 + i, (7 * i) % 50, i) for i in range(40)]  # (ts, value, rid)
+    a = HistogramState(size=10, alpha=0.15)
+    for ts, v, rid in vals:
+        a.update(ts, v, "key", rid)
+    u = np_uniform_from_hash52(
+        np.array([int.from_bytes(__import__("hashlib").md5(f"key|{rid}".encode()).digest()[:7], "big") >> 4 for _, _, rid in vals], dtype="float64")
+    )
+    pris = np_priorities(np.array([ts for ts, _, _ in vals], dtype="float64"), u, 0.15)
+    b = HistogramState(size=10, alpha=0.15)
+    b.merge_candidates(
+        [(float(p), rid, v) for p, (_, v, rid) in zip(pris, vals)],
+        max(ts for ts, _, _ in vals),
+    )
+    assert a.snapshot() == b.snapshot()
+
+
+def test_det_uniform_matches_np_path():
+    import hashlib
+
+    for key, rid in [("k", 1), ("abc", 99), ("x|y", 12345)]:
+        h52 = int(hashlib.md5(f"{key}|{rid}".encode()).hexdigest()[:13], 16)
+        assert det_uniform(key, rid) == float(np_uniform_from_hash52(np.array([h52]))[0])
+
+
+def test_sample_percentile_interpolation():
+    vals = [1, 2, 3, 4]
+    # go-metrics rank p*(n+1)
+    assert sample_percentile(vals, 0.5) == 2.5
+    assert sample_percentile(vals, 0.0) == 1
+    assert sample_percentile(vals, 1.0) == 4
+    assert sample_percentile([7], 0.99) == 7
+
+
+def test_format_value():
+    assert format_value(3) == "3"
+    assert format_value(3.0) == "3"
+    assert format_value(2.5) == "2.5000"
+    assert format_value(0.0) == "0"
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 1_000_000)),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_meter_partial_row_equivalence_property(rows):
+    rows = sorted(rows)
+    a = MeterState(tick_seconds=30)
+    for ts, v in rows:
+        a.update(ts, v)
+    a.tick_to(10_050)
+    b = MeterState(tick_seconds=30)
+    ticks = {}
+    for ts, v in rows:
+        t = ts // 30
+        s, m = ticks.get(t, (0, -1))
+        ticks[t] = (s + v, max(m, ts))
+    for t in sorted(ticks):
+        s, m = ticks[t]
+        b.merge_partial(t, s, m)
+    b.tick_to(10_050)
+    assert a.snapshot() == b.snapshot()
+
+
+@given(st.lists(st.tuples(st.integers(0, 3600), st.integers(0, 10**6)), min_size=1, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_reservoir_topk_split_merge_property(rows):
+    """top-s(all) == merge(top-s(part1), top-s(part2)) — the combiner law."""
+    rids = list(range(len(rows)))
+    ts = np.array([r[0] for r in rows], dtype="float64")
+    import hashlib
+
+    h52 = np.array(
+        [int(hashlib.md5(f"k|{r}".encode()).hexdigest()[:13], 16) for r in rids],
+        dtype="float64",
+    )
+    pris = np_priorities(ts, np_uniform_from_hash52(h52), 0.15)
+    cands = [(float(p), rid, v) for p, rid, (_, v) in zip(pris, rids, rows)]
+
+    whole = HistogramState(size=16, alpha=0.15)
+    whole.merge_candidates(cands, float(ts.max()))
+
+    split = HistogramState(size=16, alpha=0.15)
+    mid = len(cands) // 2
+    left = HistogramState(size=16, alpha=0.15)
+    right = HistogramState(size=16, alpha=0.15)
+    if cands[:mid]:
+        left.merge_candidates(cands[:mid], float(ts[:mid].max()) if mid else 0)
+    if cands[mid:]:
+        right.merge_candidates(cands[mid:], float(ts[mid:].max()))
+    split.merge_candidates(left._res, left.last_update)
+    split.merge_candidates(right._res, right.last_update)
+    assert whole.snapshot() == split.snapshot()

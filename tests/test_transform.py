@@ -1,0 +1,90 @@
+"""Transform DSL tests: the reference example config's operations
+(logmetrics_collector_transform.conf:40-47) row by row."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from logmetrics_spark.config import TransformDef, TransformOp
+from logmetrics_spark.operators.transform import transform_expr
+
+APACHE_CHAIN = TransformDef(
+    position=3,
+    replace_only_one=True,
+    operations=(
+        TransformOp("replace", r"^.*/bid", "/bid/"),
+        TransformOp("replace", r"^/(\w+)/.*$", "/@@1@@/"),
+        TransformOp("replace", r"^/search\.php", "/search/"),
+        TransformOp("replace", r"^/[^/]*$", "/"),
+        TransformOp(
+            "match_or_default",
+            r"^/(|(|bid|buy|search|list|category|sitemap|info)/)$",
+            "other",
+        ),
+    ),
+)
+
+
+def _apply(spark, tdef, values, compat=False):
+    df = spark.createDataFrame(pd.DataFrame({"v": values}))
+    out = df.select(transform_expr(F.col("v"), tdef, compat).alias("o")).collect()
+    return [r["o"] for r in out]
+
+
+def test_apache_path_cleanup_examples(spark):
+    cases = {
+        # comments from the reference config
+        "/erronous/path/bid?params": "/bid/",  # ^.*/bid -> /bid/
+        "/buy/now.php": "/buy/",  # /@@1@@/ backref
+        "/search.php?q=x": "/search/",
+        "/favicon.ico": "/",
+        "/unknown/zone/deep": "other",  # whitelist default
+        "/bid/item1": "/bid/",
+        "/category/books/x": "/category/",
+    }
+    got = _apply(spark, APACHE_CHAIN, list(cases))
+    assert got == list(cases.values())
+
+
+def test_dash_to_zero(spark):
+    tdef = TransformDef(position=4, operations=(TransformOp("replace", "^-$", "0"),))
+    assert _apply(spark, tdef, ["-", "123", "a-b"]) == ["0", "123", "a-b"]
+
+
+def test_match_or_default_keeps_matching(spark):
+    tdef = TransformDef(
+        position=1,
+        operations=(TransformOp("match_or_default", r"^(GET|POST)$", "other"),),
+    )
+    assert _apply(spark, tdef, ["GET", "POST", "COOK"]) == ["GET", "POST", "other"]
+
+
+def test_replace_only_one_stops_after_first_hit(spark):
+    tdef = TransformDef(
+        position=1,
+        replace_only_one=True,
+        operations=(
+            TransformOp("replace", "^a", "X"),
+            TransformOp("replace", "^X$", "Y"),  # must NOT run after first hit
+        ),
+    )
+    assert _apply(spark, tdef, ["abc"]) == ["X"]
+
+
+def test_compat_transform_apply_all_replays_reference(spark):
+    tdef = TransformDef(
+        position=1,
+        replace_only_one=True,  # reference code ignores the flag (transform.go:48-60)
+        operations=(
+            TransformOp("replace", "^a", "X"),
+            TransformOp("replace", "^X$", "Y"),
+        ),
+    )
+    assert _apply(spark, tdef, ["abc"], compat=True) == ["Y"]
+
+
+def test_template_multi_backref(spark):
+    tdef = TransformDef(
+        position=1,
+        operations=(TransformOp("replace", r"^(\w+)-(\w+)$", "@@2@@_@@1@@"),),
+    )
+    assert _apply(spark, tdef, ["foo-bar", "nomatch"]) == ["bar_foo", "nomatch"]
