@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""spark-submit entry point (north_rule: run via spark-submit --py-files).
+
+Usage:
+  spark-submit --py-files logmetrics_spark.zip jobs/run_pipeline.py \
+      --config configs/rest_api.toml --pages /path/to/pages \
+      --out /path/to/out [--resume-dir /path/state] [--lookup hosts=/path]
+
+Batch mode by default; --resume-dir switches to the per-partition
+lineage/resume path (plans.lineage). At cluster scale set
+--shuffle-partitions ~ 2-3x total executor cores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--resume-dir", default=None)
+    ap.add_argument("--lookup", action="append", default=[], help="name=path parquet")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    from logmetrics_spark.config import load_config
+    from logmetrics_spark.plans.lineage import run_resumable
+    from logmetrics_spark.plans.pipeline import run_pipeline
+    from logmetrics_spark.sources.tableio import TableIO
+
+    builder = SparkSession.builder.appName("logmetrics_spark.pipeline")
+    builder = builder.config("spark.sql.session.timeZone", "UTC")
+    builder = builder.config("spark.sql.adaptive.enabled", "true")
+    if args.shuffle_partitions:
+        builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+    spark = builder.getOrCreate()
+
+    cfg = load_config(args.config)
+    lookups = {}
+    for spec in args.lookup:
+        name, path = spec.split("=", 1)
+        lookups[name] = spark.read.parquet(path)
+
+    if args.resume_dir:
+        stats = run_resumable(spark, cfg, args.pages, args.resume_dir, lookups)
+        print(stats)
+    else:
+        pages = spark.read.parquet(args.pages)
+        io = TableIO(root=args.out)
+        res = run_pipeline(spark, cfg, pages, io=io, lookups=lookups, write=True)
+        print({"routed_manifest": res.stats.get("routed_manifest", {}).get("snapshot_id")})
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

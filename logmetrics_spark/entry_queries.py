@@ -1,0 +1,864 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+One entry per implemented operator family from SURVEY.md §2, exercised
+over the driver-provided tables (documents/events/embeddings/lineitem/
+...; see TESTDATA.md). Each Spark callable and its oracle produce
+identically-named columns and (by construction) identical values:
+
+- money/double sums go through integer cents (order-free exact math);
+- every residual double is rounded to 6 dp on both sides;
+- hashes are md5-based (the engine-wide convention) — portable across
+  Spark, DuckDB, and Python.
+
+The registry value is ``(fn, sql)``; ``sql=None`` marks genuinely
+non-SQL-expressible ops (EWMA scan, exp-decay reservoir, IVF probe)
+which get the driver's rows-only check plus our own pytest oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import dedup as D
+from .functions import similarity as S
+from .functions import text as T
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# hash helpers (Spark side mirrors DuckDB's
+#   CAST(('0x' || substr(md5(x),1,13)) AS BIGINT)  )
+def _md5_52(col):
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
+def _epoch(col):
+    """Fractional epoch seconds (TIMESTAMP_NTZ-safe; session tz = UTC,
+    matching DuckDB's epoch() on naive timestamps)."""
+    return F.unix_micros(col.cast("timestamp")) / F.lit(1_000_000.0)
+
+
+MD5_52_SQL = "CAST(('0x' || substr(md5({x}),1,13)) AS BIGINT)"
+
+# =====================================================================
+# §2.1/2.2 — sources, parse & scalar-expression DSL (over documents)
+# =====================================================================
+
+_EXTRACT_PAT = r"(\w+) value (\w+)"
+
+
+@q(
+    "parse_extract",
+    f"""
+    SELECT doc_id,
+           regexp_extract(text, '{_EXTRACT_PAT}', 1) AS before_value,
+           regexp_extract(text, '{_EXTRACT_PAT}', 2) AS after_value
+    FROM documents
+    WHERE regexp_matches(text, '{_EXTRACT_PAT}')
+    """,
+)
+def q_parse_extract(spark, sf_dir):
+    """Multi-group regex extraction + implicit match filter
+    (≈ logtail.go:124-140 first-match extract)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("text").rlike(_EXTRACT_PAT)).select(
+        "doc_id",
+        F.regexp_extract("text", _EXTRACT_PAT, 1).alias("before_value"),
+        F.regexp_extract("text", _EXTRACT_PAT, 2).alias("after_value"),
+    )
+
+
+@q(
+    "parse_match_rate",
+    f"""
+    SELECT source,
+           COUNT(*) AS line_read,
+           COUNT(*) FILTER (WHERE regexp_matches(text, '{_EXTRACT_PAT}')) AS line_matched,
+           SUM(length(text)) AS byte_read
+    FROM documents GROUP BY source
+    """,
+)
+def q_parse_match_rate(spark, sf_dir):
+    """tail.line_read/line_matched/byte_read counters (logtail.go:52-64)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("line_read"),
+        F.count(F.when(F.col("text").rlike(_EXTRACT_PAT), 1)).alias("line_matched"),
+        F.sum(F.length("text")).alias("byte_read"),
+    )
+
+
+@q(
+    "long_line_guard",
+    """
+    SELECT lang, COUNT(*) AS kept
+    FROM documents WHERE length(text) < 300
+    GROUP BY lang
+    """,
+)
+def q_long_line_guard(spark, sf_dir):
+    """maxLineSize drop (logtail.go:86,96-122)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(F.length("text") < 300).groupBy("lang").agg(F.count(F.lit(1)).alias("kept"))
+    )
+
+
+@q(
+    "transform_replace_chain",
+    """
+    SELECT doc_id,
+           CASE WHEN regexp_matches(tok1, '^(table|row|column)$') THEN tok1
+                ELSE 'other' END AS tok_bucket
+    FROM (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(split_part(text, ' ', 1), '^scan$', 'row'),
+                            '^agg$', 'column') AS tok1
+      FROM documents
+    ) s
+    """,
+)
+def q_transform_replace_chain(spark, sf_dir):
+    """replace chain + match_or_default whitelist (transform.go:46-69)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.split(F.col("text"), " ").getItem(0)
+    tok = F.regexp_replace(tok, "^scan$", "row")
+    tok = F.regexp_replace(tok, "^agg$", "column")
+    bucket = F.when(tok.rlike("^(table|row|column)$"), tok).otherwise(F.lit("other"))
+    return d.select("doc_id", bucket.alias("tok_bucket"))
+
+
+@q(
+    "tags_sorted",
+    """
+    SELECT doc_id,
+           'lang=' || lang || ' source=' || source AS tags
+    FROM documents
+    """,
+)
+def q_tags_sorted(spark, sf_dir):
+    """alphabetical tag=v rendering (datapool.go:59-90)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.concat(F.lit("lang="), "lang"), F.concat(F.lit("source="), "source")
+        ).alias("tags"),
+    )
+
+
+@q(
+    "scale_ops",
+    """
+    SELECT event_id,
+           CAST(ROUND(value * 100) AS BIGINT) * 10 AS scaled,
+           CAST(FLOOR(CAST(ROUND(value * 100) AS BIGINT) / 7) AS BIGINT) AS divided,
+           CAST(ROUND(value * 100) AS BIGINT) - CAST(user_id AS BIGINT) AS subbed
+    FROM events
+    """,
+)
+def q_scale_ops(spark, sf_dir):
+    """multiply/divide + add/sub arithmetic (datapool.go:138-201)."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        (cents * 10).alias("scaled"),
+        F.floor(cents / 7).cast("long").alias("divided"),
+        (cents - F.col("user_id").cast("long")).alias("subbed"),
+    )
+
+
+@q(
+    "datapoint_fanout",
+    """
+    SELECT event_id, 'events.count' AS metric, CAST(1 AS BIGINT) AS v FROM events
+    UNION ALL
+    SELECT event_id, 'events.value_cents' AS metric,
+           CAST(ROUND(value * 100) AS BIGINT) AS v FROM events
+    """,
+)
+def q_datapoint_fanout(spark, sf_dir):
+    """config-driven explode fan-out (datapool.go:116-215)."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("events.count").alias("metric"), F.lit(1).cast("long").alias("v")),
+                F.struct(F.lit("events.value_cents").alias("metric"), cents.alias("v")),
+            )
+        ).alias("dp"),
+    ).select("event_id", F.col("dp.metric").alias("metric"), F.col("dp.v").alias("v"))
+
+
+# =====================================================================
+# §2.3/2.4 — windowed aggregation, watermark, stale, gap-fill (events)
+# =====================================================================
+
+
+@q(
+    "meter_window_sum",
+    """
+    SELECT event_type,
+           CAST(FLOOR(epoch(ts) / 60) AS BIGINT) * 60 AS w_start,
+           COUNT(*) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
+    FROM events GROUP BY event_type, w_start
+    """,
+)
+def q_meter_window_sum(spark, sf_dir):
+    """tumbling event-time window partial sums (the meter phase-A agg;
+    datapool.go:280-307 interval trigger analog)."""
+    e = _t(spark, sf_dir, "events")
+    w = (F.floor(F.unix_timestamp("ts") / 60) * 60).cast("long")
+    return e.groupBy("event_type", w.alias("w_start")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+@q(
+    "counter_running",
+    """
+    SELECT event_type, w_start,
+           SUM(wsum) OVER (PARTITION BY event_type ORDER BY w_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+    FROM (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS w_start,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS wsum
+      FROM events GROUP BY event_type, w_start
+    ) s
+    """,
+)
+def q_counter_running(spark, sf_dir):
+    """running cumulative counter across windows (Counter semantics)."""
+    e = _t(spark, sf_dir, "events")
+    w = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    per = e.groupBy("event_type", w.alias("w_start")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("wsum")
+    )
+    cum = (
+        Window.partitionBy("event_type")
+        .orderBy("w_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per.select(
+        "event_type", "w_start", F.sum("wsum").over(cum).alias("running_cents")
+    )
+
+
+@q(
+    "hist_moments",
+    """
+    SELECT event_type, n, min_cents, max_cents,
+           ROUND(s1 / 100.0 / n, 6) AS mean_v,
+           ROUND(sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 100.0, 6) AS std_dev
+    FROM (
+      SELECT event_type, COUNT(*) AS n,
+             MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_cents,
+             MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s1,
+             SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS s2
+      FROM events GROUP BY event_type
+    ) s
+    """,
+)
+def q_hist_moments(spark, sf_dir):
+    """min/max/mean/std_dev via exact integer moments (order-free —
+    the salt-safe decomposition the engine uses at scale)."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    return agg.select(
+        "event_type", "n", "min_cents", "max_cents",
+        F.round(s1 / 100.0 / n, 6).alias("mean_v"),
+        F.round(F.sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) / 100.0, 6).alias("std_dev"),
+    )
+
+
+@q(
+    "hist_percentiles",
+    """
+    SELECT event_type,
+           ROUND(CAST(quantile_cont(cents, 0.50) AS DOUBLE), 6) AS p50,
+           ROUND(CAST(quantile_cont(cents, 0.75) AS DOUBLE), 6) AS p75,
+           ROUND(CAST(quantile_cont(cents, 0.95) AS DOUBLE), 6) AS p95,
+           ROUND(CAST(quantile_cont(cents, 0.99) AS DOUBLE), 6) AS p99
+    FROM (SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events) s
+    GROUP BY event_type
+    """,
+)
+def q_hist_percentiles(spark, sf_dir):
+    """exact percentiles (cross-check for the reservoir estimator;
+    SURVEY §2.3 notes approx_percentile is NOT semantics-equivalent)."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = e.select("event_type", cents.alias("cents"))
+    return d.groupBy("event_type").agg(
+        F.round(F.expr("percentile(cents, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(cents, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(cents, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(cents, 0.99)"), 6).alias("p99"),
+    )
+
+
+@q(
+    "watermark_late_rows",
+    """
+    SELECT file_id,
+           CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS high_water,
+           COUNT(*) FILTER (WHERE is_late) AS late_rows
+    FROM (
+      SELECT user_id % 8 AS file_id, ts,
+             epoch(ts) < MAX(epoch(ts)) OVER (
+               PARTITION BY user_id % 8 ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS is_late
+      FROM events
+    ) s GROUP BY file_id
+    """,
+)
+def q_watermark_late_rows(spark, sf_dir):
+    """per-source high-water mark + out-of-order detection
+    (datapool.go:238-244,270-274)."""
+    e = _t(spark, sf_dir, "events")
+    fid = (F.col("user_id") % 8).alias("file_id")
+    w = (
+        Window.partitionBy(F.col("user_id") % 8)
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.select(
+        fid,
+        "ts",
+        (
+            _epoch(F.col("ts"))
+            < F.max(_epoch(F.col("ts"))).over(w)
+        ).alias("is_late"),
+    )
+    return flagged.groupBy("file_id").agg(
+        F.floor(F.max(_epoch(F.col("ts"))))
+        .cast("long")
+        .alias("high_water"),
+        F.count(F.when(F.col("is_late"), 1)).alias("late_rows"),
+    )
+
+
+@q(
+    "stale_keys",
+    """
+    SELECT user_id AS key_id, event_type,
+           CAST(FLOOR(MAX(epoch(ts))) AS BIGINT) AS last_update
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING MAX(epoch(ts)) < (SELECT MAX(epoch(ts)) FROM events) - 2 * 86400
+    """,
+)
+def q_stale_keys(spark, sf_dir):
+    """stale-key detection: no update within TTL of the global high
+    water (datapool.go:315-334)."""
+    e = _t(spark, sf_dir, "events")
+    gmax = e.agg(F.max(_epoch(F.col("ts")))).collect()[0][0]
+    return (
+        e.groupBy(F.col("user_id").alias("key_id"), F.col("event_type"))
+        .agg(
+            F.floor(F.max(_epoch(F.col("ts"))))
+            .cast("long")
+            .alias("last_update"),
+            F.max(_epoch(F.col("ts"))).alias("_m"),
+        )
+        .filter(F.col("_m") < gmax - 2 * 86400)
+        .drop("_m")
+    )
+
+
+@q(
+    "gap_fill_windows",
+    """
+    SELECT event_type, COUNT(*) AS empty_windows
+    FROM (
+      SELECT event_type,
+             unnest(generate_series(wmin, wmax, 3600)) AS w
+      FROM (
+        SELECT event_type,
+               CAST(FLOOR(MIN(epoch(ts)) / 3600) AS BIGINT) * 3600 AS wmin,
+               CAST(FLOOR(MAX(epoch(ts)) / 3600) AS BIGINT) * 3600 AS wmax
+        FROM events GROUP BY event_type
+      ) b
+    ) g
+    LEFT JOIN (
+      SELECT DISTINCT event_type AS et2,
+             CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS w2
+      FROM events
+    ) h ON g.event_type = h.et2 AND g.w = h.w2
+    WHERE h.et2 IS NULL
+    GROUP BY event_type
+    """,
+)
+def q_gap_fill_windows(spark, sf_dir):
+    """duplicate-heartbeat support: windows with no input per key
+    (datapool.go:336-355 gap detection)."""
+    e = _t(spark, sf_dir, "events")
+    day = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    bounds = e.groupBy("event_type").agg(
+        F.min(day).alias("wmin"), F.max(day).alias("wmax")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("wmin", "wmax", F.lit(3600).cast("long"))).alias("w"),
+    )
+    present = e.select("event_type", day.alias("w")).distinct()
+    missing = grid.join(present, ["event_type", "w"], "left_anti")
+    return missing.groupBy("event_type").agg(F.count(F.lit(1)).alias("empty_windows"))
+
+
+# =====================================================================
+# §2.5/2.7 — routing, sink hash, enrichment join, sorts/limits
+# =====================================================================
+
+
+@q(
+    "route_put_lines",
+    """
+    SELECT 'put events.count ' || CAST(w_start AS VARCHAR) || ' ' || CAST(n AS VARCHAR)
+           || ' event_type=' || event_type AS line
+    FROM (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS w_start,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, w_start
+    ) s
+    """,
+)
+def q_route_put_lines(spark, sf_dir):
+    """OpenTSDB put-line rendering (tsdpusher.go:51-58)."""
+    e = _t(spark, sf_dir, "events")
+    w = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    agg = e.groupBy("event_type", w.alias("w_start")).agg(F.count(F.lit(1)).alias("n"))
+    return agg.select(
+        F.concat(
+            F.lit("put events.count "),
+            F.col("w_start").cast("string"),
+            F.lit(" "),
+            F.col("n").cast("string"),
+            F.lit(" event_type="),
+            F.col("event_type"),
+        ).alias("line")
+    )
+
+
+@q(
+    "sink_routing",
+    f"""
+    SELECT {MD5_52_SQL.format(x="event_type || '|' || CAST(user_id AS VARCHAR)")} % 4 AS sink,
+           COUNT(*) AS n
+    FROM events GROUP BY sink
+    """,
+)
+def q_sink_routing(spark, sf_dir):
+    """deterministic md5 sink hash (round-robin analog,
+    datapool.go:369-378)."""
+    e = _t(spark, sf_dir, "events")
+    key = F.concat(F.col("event_type"), F.lit("|"), F.col("user_id").cast("string"))
+    return e.groupBy((_md5_52(key) % 4).alias("sink")).agg(F.count(F.lit(1)).alias("n"))
+
+
+_DIM_SQL = """
+    (SELECT * FROM (VALUES ('click', 'ui'), ('view', 'ui'), ('purchase', 'commerce'),
+                           ('error', 'ops'), ('signup', 'growth')) d(event_type, category))
+"""
+
+
+@q(
+    "enrich_broadcast_join",
+    f"""
+    SELECT d.category, COUNT(*) AS n,
+           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS sum_cents
+    FROM events e LEFT JOIN {_DIM_SQL} d USING (event_type)
+    GROUP BY d.category
+    """,
+)
+def q_enrich_broadcast_join(spark, sf_dir):
+    """broadcast lookup enrichment (north_star; ≈ literal tags
+    config.go:436-445)."""
+    e = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [
+            ("click", "ui"), ("view", "ui"), ("purchase", "commerce"),
+            ("error", "ops"), ("signup", "growth"),
+        ],
+        "event_type string, category string",
+    )
+    return (
+        e.join(F.broadcast(dim), "event_type", "left")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+    )
+
+
+@q(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """general agg coverage (TPC-H Q1 shape) over lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_cents"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "topk_orders",
+    """
+    SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    ORDER BY price_cents DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_topk_orders(spark, sf_dir):
+    """sort + limit (top-k) with deterministic tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        o.select("o_orderkey", cents.alias("price_cents"))
+        .orderBy(F.col("price_cents").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@q(
+    "star_join_counts",
+    """
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS bal_cents
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q_star_join_counts(spark, sf_dir):
+    """multi-way broadcast star join (dimension enrichment at scale)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("bal_cents"),
+        )
+    )
+
+
+# =====================================================================
+# training-data pipeline extras (documents / embeddings)
+# =====================================================================
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKC_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+def _occ_sql(x: str, pat: str) -> str:
+    return f"(length({x}) - length(regexp_replace({x}, '{pat}', '', 'g')))"
+
+
+def _marker_sql(marker: str) -> str:
+    pad = "(' ' || lower(text) || ' ')"
+    esc = marker.replace(".", "\\.")
+    return f"({_occ_sql(pad, esc)} / {len(marker)})"
+
+
+@q(
+    "text_token_count",
+    f"""
+    SELECT lang, SUM({_TOKC_SQL}) AS total_tokens, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+_PUNCT_OCC = _occ_sql("text", "[\\.,;:!\\?]")
+_DIGIT_OCC = _occ_sql("text", "[0-9]")
+
+@q(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_q,
+           {_TOKC_SQL} AS n_tokens,
+           ROUND(CASE WHEN {_TOKC_SQL} > 0
+                 THEN length(text) * 1.0 / ({_TOKC_SQL}) ELSE 0.0 END, 6) AS avg_token_len,
+           ROUND(CASE WHEN length(text) > 0
+                 THEN {_PUNCT_OCC} * 1.0 / length(text)
+                 ELSE 0.0 END, 6) AS punct_ratio,
+           ROUND(CASE WHEN length(text) > 0
+                 THEN {_DIGIT_OCC} * 1.0 / length(text)
+                 ELSE 0.0 END, 6) AS digit_ratio
+    FROM documents
+    """,
+)
+def q_text_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = T.with_quality_features(d)
+    return out.select(
+        "doc_id", "n_chars_q", "n_tokens", "avg_token_len", "punct_ratio", "digit_ratio"
+    )
+
+
+def _langid_sql() -> str:
+    langs = sorted(T.LANG_MARKERS)
+    scores = {
+        lang: " + ".join(_marker_sql(m) for m in T.LANG_MARKERS[lang]) for lang in langs
+    }
+    sel = ", ".join(f"({scores[l]}) AS s_{l}" for l in langs)
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"s_{lang} > s_{other}")
+            elif j > i:
+                conds.append(f"s_{lang} >= s_{other}")
+        case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    SELECT lang_pred, lang AS lang_true, COUNT(*) AS n
+    FROM (SELECT lang, {case} AS lang_pred FROM (SELECT lang, text, {sel} FROM documents) s0) s1
+    GROUP BY lang_pred, lang_true
+    """
+
+
+@q("text_lang_id", _langid_sql())
+def q_text_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    out = T.with_lang_id(d)
+    return out.groupBy(
+        "lang_pred", F.col("lang").alias("lang_true")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return T.with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+    FROM documents GROUP BY fingerprint
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLE_SQL = f"""
+  SELECT DISTINCT doc_id AS id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle
+  FROM (
+    SELECT doc_id, string_split_regex(trim({_NORM_SQL}), '\\s+') AS toks
+    FROM documents
+  ) s, unnest(generate_series(1, greatest(len(toks) - {D.NGRAM_N - 1}, 0))) t(i)
+"""
+
+_JACCARD_SQL = f"""
+  WITH sh AS ({_SHINGLE_SQL}),
+  sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+  inter AS (
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+    GROUP BY a.id, b.id
+  )
+  SELECT id_a, id_b,
+         ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard6
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+  WHERE ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) >= {{thr}}
+"""
+
+
+@q("dedup_ngram_jaccard", _JACCARD_SQL.format(thr=0.4))
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), 0.4)
+
+
+def _minhash_sql() -> str:
+    mh = ", ".join(
+        f"MIN({MD5_52_SQL.format(x=repr(str(i)+':') + ' || shingle')}) AS mh{i}"
+        for i in range(D.MINHASH_K)
+    )
+    bands = []
+    for b in range(D.LSH_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(mh{b * D.LSH_ROWS + r} AS VARCHAR)" for r in range(D.LSH_ROWS)
+        )
+        bands.append(f"SELECT id, {b} AS band, md5({cols}) AS bucket FROM sig")
+    bands_sql = " UNION ALL ".join(bands)
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (SELECT id, {mh} FROM sh GROUP BY id),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) AS jaccard6
+    FROM cand c
+    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.id = c.id_a
+    JOIN sizes sb ON sb.id = c.id_b
+    WHERE ROUND(i.inter * 1.0 / (sa.sz + sb.sz - i.inter), 6) >= 0.4
+    """
+
+
+@q("dedup_minhash_lsh", _minhash_sql())
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), 0.4)
+
+
+def _simhash_sql() -> str:
+    h = MD5_52_SQL.format(x="tok")
+    bits = ", ".join(
+        f"SUM(CASE WHEN (({h}) // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(D.SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(D.SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, t.tok
+      FROM (SELECT doc_id, string_split_regex(trim({_NORM_SQL}), '\\s+') AS tk FROM documents) s,
+           unnest(tk) t(tok)
+    ),
+    perbit AS (SELECT id, {bits} FROM toks GROUP BY id),
+    sig AS (SELECT id, {sig} AS simhash FROM perbit)
+    SELECT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
+@q("dedup_simhash", _simhash_sql())
+def q_dedup_simhash(spark, sf_dir):
+    return D.simhash_pairs(_t(spark, sf_dir, "documents"), 3)
+
+
+@q(
+    "embed_neardup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos6
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.30
+    """,
+)
+def q_embed_neardup(spark, sf_dir):
+    return D.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), 0.30)
+
+
+@q(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_embedding
+               FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.q_embedding AS DOUBLE[]))
+                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.q_embedding AS DOUBLE[]), CAST(q.q_embedding AS DOUBLE[])))), 6) AS cos6
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id, rank, vec_id, cos6 FROM (
+      SELECT q_id, vec_id, cos6,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank
+      FROM scored
+    ) r WHERE rank <= 5
+    """,
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, S.make_queries(emb, 50), 5)
+
+
+@q("ann_ivf_topk", None)  # IVF probe: rows-only (window-over-window plan)
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb, S.make_queries(emb, 50), S.make_centroids(emb, 25), 5, 3)

@@ -1,0 +1,227 @@
+"""Deduplication operators over a documents table.
+
+Training-data pipeline primitives (graft requirement): exact dedup,
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale notes (the 100 TB story):
+
+- exact dedup is a single hash-groupBy (map-side combine; AQE handles
+  skew on pathological duplicate clusters);
+- n-gram Jaccard all-pairs is quadratic — it exists as the *oracle*
+  for MinHash/LSH, which is the scale path: shingle -> k minhashes ->
+  band buckets -> join only within buckets (candidate set ~linear for
+  realistic dup rates);
+- simhash reduces each doc to a W-bit signature; near-dup = small
+  Hamming distance; bucketing by signature prefix bounds the join;
+- all hashes derive from md5 (portable to the DuckDB oracle and the
+  Python oracle; no engine-specific hash()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# shared constants — the SQL oracles are generated from these
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_K = LSH_BANDS * LSH_ROWS
+SIMHASH_BITS = 32
+NGRAM_N = 3
+
+
+def md5_52(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
+
+
+def normalized(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+# ------------------------------------------------------------ exact
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by md5 fingerprint: keeper = min id.
+    Returns (fingerprint, keeper_id, n_docs) for groups with dups."""
+    return (
+        docs.select(F.col(id_col), F.md5(normalized(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keeper_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ------------------------------------------------------------ shingles
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = NGRAM_N) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    toks = F.split(F.trim(normalized(F.col(text_col))), r"\s+")
+    # n-gram i = tokens[i..i+n-1] joined; sequence over 0..size-n
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """All-pairs n-gram Jaccard >= threshold (exact; quadratic — the
+    oracle for the LSH path). Returns (id_a, id_b, jaccard6)."""
+    sh = shingles(docs, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard6",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard6") >= threshold)
+        .select("id_a", "id_b", "jaccard6")
+    )
+
+
+# ------------------------------------------------------------ minhash
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """k MinHash values per doc: mh_i = min over shingles of
+    md5_52(i || ':' || shingle). Columns: id, mh0..mh{k-1}."""
+    sh = shingles(docs, id_col, text_col)
+    aggs = [
+        F.min(md5_52(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH candidate generation + exact-Jaccard verification.
+
+    Bands of LSH_ROWS rows each; candidates = pairs sharing >=1 band
+    bucket; verified against true n-gram Jaccard (so the result is a
+    *subset* of ngram_jaccard_pairs — recall < 1 by construction, the
+    scale/accuracy trade of LSH). Returns (id_a, id_b, jaccard6)."""
+    sig = minhash_signatures(docs, MINHASH_K, id_col, text_col)
+    bands = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        bands.append(
+            sig.select(
+                F.col("id"),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a = allb.alias("a")
+    b2 = allb.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, 0.0, id_col, text_col)
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard6") >= threshold)
+        .select("id_a", "id_b", "jaccard6")
+    )
+
+
+# ------------------------------------------------------------ simhash
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """W-bit SimHash per doc from whitespace tokens (unit weights).
+
+    bit_j(sig) = 1 iff sum over distinct tokens of
+    (bit_j(md5_52(token)) ? +1 : -1) > 0. Returns (id, simhash)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(normalized(F.col(text_col))), r"\s+")).alias("tok"),
+    ).distinct()
+    h = md5_52(F.col("tok"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_bit = toks.groupBy("id").agg(*aggs)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long")
+        sig = term if sig is None else sig + term
+    return per_bit.select("id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming."""
+    s = simhash(docs, id_col, text_col)
+    a = s.alias("a")
+    b = s.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )
+
+
+# ------------------------------------------------------- embeddings
+
+
+def cosine6(va: Column, vb: Column) -> Column:
+    """Cosine similarity of two float-array columns, rounded to 6dp
+    (double math; portable result vs DuckDB list_cosine_similarity)."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return F.round(dot / (na * nb), 6)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-dup pairs (vec_id a < b, cosine6 >= t)."""
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine6(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cos6", cos)
+        .filter(F.col("cos6") >= threshold)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cos6")
+    )

@@ -1,0 +1,124 @@
+"""Text-analysis operators over a documents/pages table.
+
+Large-scale training-data pipeline primitives (graft requirement):
+language-ID, quality scoring, token counting, document fingerprinting.
+Every operator is a pure Catalyst expression (whole-stage codegen, no
+UDF) built ONLY from functions with exact DuckDB equivalents, so each
+has an ANSI-SQL oracle in ``__spark_entry__.oracle_sql``.
+
+Portability conventions (Spark <-> DuckDB):
+
+- "count of regex occurrences" is expressed as
+  ``(length(x) - length(regexp_replace(x, pat, ''))) / len(repl_unit)``
+  -> identical in DuckDB with the 'g' flag;
+- tokenization is ``split(trim(x), '\\s+')`` with the empty-string
+  guard (both engines return [''] for empty input).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small per-language stopword marker sets (n-gram heuristic)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " is "],
+    "fr": [" le ", " la ", " et ", " est "],
+    "de": [" der ", " die ", " und ", " ist "],
+    "es": [" el ", " los ", " que ", " es "],
+}
+STOPWORDS_EN = ["the", "a", "of", "and", "is", "to", "in"]
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count with empty-string guard."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def occurrence_count(col: Column, pattern: str) -> Column:
+    """Occurrences of a 1-char-class regex (length-difference trick —
+    portable to DuckDB, unlike regexp_count)."""
+    return (F.length(col) - F.length(F.regexp_replace(col, pattern, ""))).cast("long")
+
+
+def marker_hits(col: Column, marker: str) -> Column:
+    """Non-overlapping occurrences of a literal marker substring."""
+    pad = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return (
+        (F.length(pad) - F.length(F.regexp_replace(pad, _lit_re(marker), "")))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def _lit_re(s: str) -> str:
+    out = []
+    for c in s:
+        out.append("\\" + c if c in r"\.[]{}()*+-?^$|" else c)
+    return "".join(out)
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, ratios (length/punct/stopword)."""
+    c = F.col(text_col)
+    n_chars = F.length(c).cast("long")
+    n_tokens = token_count(c)
+    punct = occurrence_count(c, r"[\.,;:!\?]")
+    digits = occurrence_count(c, r"[0-9]")
+    stop_hits = None
+    for w in STOPWORDS_EN:
+        h = marker_hits(c, f" {w} ")
+        stop_hits = h if stop_hits is None else stop_hits + h
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "avg_token_len",
+            F.round(
+                F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(0.0), 6
+            ),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(F.when(n_chars > 0, punct / n_chars).otherwise(0.0), 6),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.round(F.when(n_chars > 0, digits / n_chars).otherwise(0.0), 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(0.0), 6),
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-marker language ID: argmax of per-language marker hits,
+    deterministic tiebreak by language code, 'und' when all zero."""
+    c = F.col(text_col)
+    langs = sorted(LANG_MARKERS)  # priority order on ties: alphabetical
+    scores = {
+        lang: sum(marker_hits(c, m) for m in LANG_MARKERS[lang]) for lang in langs
+    }
+    # CASE chain (portable argmax): first lang in priority order whose
+    # score is maximal and nonzero
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang and langs.index(other) < langs.index(lang):
+                cond = cond & (scores[lang] > scores[other])
+            elif other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return df.withColumn("lang_pred", expr)
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over whitespace-normalized lowercase
+    text (exact-dedup key)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))

@@ -44,6 +44,7 @@ update window through the globally last window:
 
 from __future__ import annotations
 
+import numpy as _np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -76,86 +77,94 @@ EMISSION_SCHEMA = (
 
 
 def partial_stage(dp: DataFrame, lg: LogGroup) -> DataFrame:
-    """Phase A: associative pre-aggregation of raw datapoints."""
+    """Phase A: associative pre-aggregation of raw datapoints.
+
+    Single pass, no shuffle: window/tick assignment and the reservoir
+    uniform are native column exprs (codegen, fused with the upstream
+    parse/fan-out stage), then ONE ``mapInPandas`` local reducer
+    combines, per Arrow batch,
+
+    - meters/counters: per-(key, w, t) sums (the map-side combine),
+    - histograms: top-s reservoir candidates per (key, w), carrying
+      the group max ts (dropped rows still count as updates for push
+      gating / staleness).
+
+    The crunch merges partials from different batches/partitions, so
+    the local reduction only needs to be *sound* (associative), not
+    complete — shuffle volume drops from |datapoints| to
+    O(distinct keys x windows) per partition batch.
+    """
     interval = lg.interval
     ewma = lg.ewma_interval
-
-    sums_src = dp.filter(F.col("metric_type") != "histogram")
-    w = F.floor(F.col("ts_sec") / interval).cast("long")
-    t = (
-        F.when(
-            F.col("metric_type") == "meter",
-            F.floor(F.col("ts_sec") / ewma).cast("long"),
-        ).otherwise(F.lit(0))
-    )
-    sums = (
-        sums_src.withColumn("w", w)
-        .withColumn("t", t)
-        .groupBy(*KEY_COLS, "w", "t")
-        .agg(
-            F.max(F.col("never_stale").cast("int")).cast("boolean").alias("never_stale"),
-            F.sum("value").alias("psum"),
-            F.max("ts_sec").alias("pmax_ts"),
-        )
-        .select(
-            *KEY_COLS, "never_stale", "w", "t", "psum", "pmax_ts",
-            F.lit(None).cast("double").alias("pri"),
-            F.lit(None).cast("long").alias("rid"),
-            F.lit(None).cast("long").alias("val"),
-        )
-    )
-
-    hist_src = dp.filter(F.col("metric_type") == "histogram")
-    # deterministic uniform: 52-bit md5 prefix of "key|record_id"
-    # (JVM-side codegen; identical to timemetrics.det_uniform)
-    hist = (
-        hist_src.withColumn("w", F.floor(F.col("ts_sec") / interval).cast("long"))
-        .withColumn(
-            "h52", md5_52bit(F.concat_ws("|", F.col("key_id"), F.col("record_id")))
-        )
-    )
     size = lg.histogram_size
     alpha = lg.histogram_alpha_decay
 
-    def local_topk(batches):
-        """Exact local combiner: per-batch top-s per (key, window)."""
+    is_meter = F.col("metric_type") == "meter"
+    is_hist = F.col("metric_type") == "histogram"
+    enriched = (
+        dp.withColumn("w", F.floor(F.col("ts_sec") / interval).cast("long"))
+        .withColumn(
+            "t",
+            F.when(is_meter, F.floor(F.col("ts_sec") / ewma).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+        .withColumn(
+            # deterministic uniform seed: 52-bit md5 prefix of
+            # "key|record_id" (identical to timemetrics.det_uniform)
+            "h52",
+            F.when(
+                is_hist, md5_52bit(F.concat_ws("|", F.col("key_id"), F.col("record_id")))
+            ),
+        )
+    )
+
+    meta_cols = list(KEY_COLS) + ["never_stale"]
+
+    def local_reduce(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
-            u = np_uniform_from_hash52(pdf["h52"].to_numpy())
-            pdf = pdf.assign(pri=np_priorities(pdf["ts_sec"].to_numpy(), u, alpha))
-            # rows dropped by the combiner still count as updates for
-            # push gating / staleness: carry the group max ts on the
-            # kept rows (top-s of a nonempty group keeps >=1 row)
-            grp = pdf.groupby(["key_id", "w"], sort=False)
-            pdf = pdf.assign(grp_max_ts=grp["ts_sec"].transform("max"))
-            kept = (
-                pdf.sort_values(["pri", "record_id"], ascending=False)
-                .groupby(["key_id", "w"], sort=False)
-                .head(size)
-            )
-            yield pd.DataFrame(
-                {
-                    "key_id": kept["key_id"],
-                    "group": kept["group"],
-                    "metric_type": kept["metric_type"],
-                    "key_prefix": kept["key_prefix"],
-                    "key_suffix": kept["key_suffix"],
-                    "tags": kept["tags"],
-                    "ref_tag": kept["ref_tag"],
-                    "never_stale": kept["never_stale"],
-                    "w": kept["w"],
-                    "t": 0,
-                    "psum": pd.array([None] * len(kept), dtype="Int64"),
-                    "pmax_ts": kept["grp_max_ts"],
-                    "pri": kept["pri"],
-                    "rid": kept["record_id"],
-                    "val": kept["value"],
-                }
-            )
+            hist = pdf[pdf["metric_type"] == "histogram"]
+            rest = pdf[pdf["metric_type"] != "histogram"]
+            frames = []
+            if len(rest):
+                sums = rest.groupby(meta_cols + ["w", "t"], sort=False, as_index=False).agg(
+                    psum=("value", "sum"), pmax_ts=("ts_sec", "max")
+                )
+                sums["pri"] = pd.array([None] * len(sums), dtype="float64")
+                sums["rid"] = pd.array([None] * len(sums), dtype="Int64")
+                sums["val"] = pd.array([None] * len(sums), dtype="Int64")
+                frames.append(sums)
+            if len(hist):
+                u = np_uniform_from_hash52(hist["h52"].to_numpy())
+                hist = hist.assign(pri=np_priorities(hist["ts_sec"].to_numpy(), u, alpha))
+                grp = hist.groupby(["key_id", "w"], sort=False)
+                hist = hist.assign(grp_max_ts=grp["ts_sec"].transform("max"))
+                kept = (
+                    hist.sort_values(["pri", "record_id"], ascending=False)
+                    .groupby(["key_id", "w"], sort=False)
+                    .head(size)
+                )
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            **{c: kept[c] for c in meta_cols},
+                            "w": kept["w"],
+                            "t": 0,
+                            "psum": pd.array([None] * len(kept), dtype="Int64"),
+                            "pmax_ts": kept["grp_max_ts"],
+                            "pri": kept["pri"],
+                            "rid": kept["record_id"],
+                            "val": kept["value"],
+                        }
+                    )
+                )
+            if frames:
+                out = pd.concat(frames, ignore_index=True)
+                yield out[meta_cols + ["w", "t", "psum", "pmax_ts", "pri", "rid", "val"]]
 
-    hist_partials = hist.mapInPandas(local_topk, schema=PARTIAL_SCHEMA)
-    return sums.unionByName(hist_partials)
+    return enriched.mapInPandas(local_reduce, schema=PARTIAL_SCHEMA)
 
 
 def _new_state(metric_type: str, lg: LogGroup):
@@ -166,98 +175,186 @@ def _new_state(metric_type: str, lg: LogGroup):
     return HistogramState(size=lg.histogram_size, alpha=lg.histogram_alpha_decay)
 
 
-def make_crunch(lg: LogGroup, global_last_w: int):
-    """Build the Phase-B applyInPandas function for one log group."""
+def _crunch_one_key(lg: LogGroup, global_last_w: int, metric_type: str,
+                    never_stale: bool, w, t, psum, pmax, pri, rid, val, emit):
+    """Replay one key's partials through its metric state, emitting at
+    window boundaries per the spec in the module docstring. Operates on
+    numpy slices (sorted by (w, t)); called from the partition mapper."""
     interval = lg.interval
     stale_secs = lg.stale_treshold_min * 60
 
-    def crunch(key_tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        key_id, group, metric_type, key_prefix, key_suffix, tags, ref_tag = key_tuple
-        never_stale = bool(pdf["never_stale"].max())
-        pdf = pdf.sort_values(["w", "t", "rid"], kind="mergesort")
+    starts = _np.unique(w, return_index=True)[1]
+    segs = list(zip(starts, list(starts[1:]) + [len(w)]))
 
-        by_w: dict[int, pd.DataFrame] = {int(w): g for w, g in pdf.groupby("w")}
-        first_w = min(by_w)
+    state = None
+    last_push_maxts = None
+    dup_ts = None
 
-        out: dict[str, list] = {
-            "boundary": [], "ending": [], "ts": [], "value_num": [],
-            "value_str": [], "is_dup": [], "is_zero": [],
-        }
+    def stale_boundary(last_update: float) -> int:
+        b = last_update + stale_secs
+        return int(-(-b // interval) * interval)  # ceil to boundary
 
-        def emit(boundary: int, ts: int, snap: dict, is_dup: bool, is_zero: bool):
-            for ending, v in snap.items():
-                if is_zero:
-                    v = 0
-                out["boundary"].append(boundary)
-                out["ending"].append(ending)
-                out["ts"].append(int(ts))
-                out["value_num"].append(float(v))
-                out["value_str"].append(format_value(v))
-                out["is_dup"].append(is_dup)
-                out["is_zero"].append(is_zero)
+    full_scan = lg.send_duplicates
+    seg_idx = 0
+    if full_scan:
+        window_iter = range(int(w[0]), global_last_w + 1)
+    else:
+        window_iter = [int(w[s0]) for s0, _ in segs]
 
-        state = None
-        last_push_maxts = None
-        dup_ts = None
-
-        for W in range(first_w, global_last_w + 1):
-            B = (W + 1) * interval
-            wrows = by_w.get(W)
-            if wrows is not None:
-                if state is None:
-                    state = _new_state(metric_type, lg)
-                    last_push_maxts = None
-                    dup_ts = None
-                if metric_type == "meter":
-                    for t, psum, pmax in zip(
-                        wrows["t"].to_numpy(), wrows["psum"].to_numpy(), wrows["pmax_ts"].to_numpy()
-                    ):
-                        state.merge_partial(int(t), int(psum), float(pmax))
-                elif metric_type == "counter":
-                    for psum, pmax in zip(wrows["psum"].to_numpy(), wrows["pmax_ts"].to_numpy()):
-                        state.update(float(pmax), int(psum))
-                else:
-                    cands = list(
-                        zip(
-                            wrows["pri"].to_numpy(),
-                            (int(r) for r in wrows["rid"].to_numpy()),
-                            (int(v) for v in wrows["val"].to_numpy()),
-                        )
-                    )
-                    state.merge_candidates(cands, float(wrows["pmax_ts"].max()))
-            if state is None:
-                continue
-            state.tick_to(float(B))
-
-            if (
-                lg.stale_removal
-                and not never_stale
-                and (B - state.last_update) >= stale_secs
-            ):
+    for W in window_iter:
+        B = (W + 1) * interval
+        has_rows = seg_idx < len(segs) and int(w[segs[seg_idx][0]]) == W
+        if (
+            not full_scan
+            and lg.stale_removal
+            and not never_stale
+            and state is not None
+        ):
+            b_star = stale_boundary(state.last_update)
+            if b_star < B:  # staleness fired in the gap before W
+                state.tick_to(float(b_star))
                 state.zero_out()
-                emit(B, B, state.snapshot(), is_dup=False, is_zero=True)
+                emit(b_star, b_star, state.snapshot(), False, True)
                 state = None
-                continue
-
-            if last_push_maxts is None or state.last_update > last_push_maxts:
-                emit(B, int(state.last_update), state.snapshot(), is_dup=False, is_zero=False)
-                last_push_maxts = state.last_update
+        if has_rows:
+            s0, s1 = segs[seg_idx]
+            seg_idx += 1
+            if state is None:
+                state = _new_state(metric_type, lg)
+                last_push_maxts = None
                 dup_ts = None
-            elif lg.send_duplicates:
-                dup_ts = (dup_ts if dup_ts is not None else int(state.last_update)) + interval
-                emit(B, dup_ts, state.snapshot(), is_dup=True, is_zero=False)
+            if metric_type == "meter":
+                for j in range(s0, s1):
+                    state.merge_partial(int(t[j]), int(psum[j]), float(pmax[j]))
+            elif metric_type == "counter":
+                for j in range(s0, s1):
+                    state.update(float(pmax[j]), int(psum[j]))
+            else:
+                cands = [(float(pri[j]), int(rid[j]), int(val[j])) for j in range(s0, s1)]
+                state.merge_candidates(cands, float(pmax[s0:s1].max()))
+        if state is None:
+            continue
+        state.tick_to(float(B))
 
-        n = len(out["ending"])
-        return pd.DataFrame(
-            {
-                "key_id": [key_id] * n, "group": [group] * n,
-                "metric_type": [metric_type] * n, "key_prefix": [key_prefix] * n,
-                "key_suffix": [key_suffix] * n, "tags": [tags] * n,
-                "ref_tag": [ref_tag] * n, **out,
-            }
-        )
+        if (
+            lg.stale_removal
+            and not never_stale
+            and (B - state.last_update) >= stale_secs
+        ):
+            state.zero_out()
+            emit(B, B, state.snapshot(), False, True)
+            state = None
+            continue
 
-    return crunch
+        if last_push_maxts is None or state.last_update > last_push_maxts:
+            emit(B, int(state.last_update), state.snapshot(), False, False)
+            last_push_maxts = state.last_update
+            dup_ts = None
+        elif lg.send_duplicates:
+            dup_ts = (dup_ts if dup_ts is not None else int(state.last_update)) + interval
+            emit(B, dup_ts, state.snapshot(), True, False)
+
+    # fast-path tail: staleness firing after the last update window
+    if (
+        not full_scan
+        and lg.stale_removal
+        and not never_stale
+        and state is not None
+    ):
+        b_star = stale_boundary(state.last_update)
+        if b_star <= (global_last_w + 1) * interval:
+            state.tick_to(float(b_star))
+            state.zero_out()
+            emit(b_star, b_star, state.snapshot(), False, True)
+
+
+_META = ["key_id", "group", "metric_type", "key_prefix", "key_suffix", "tags", "ref_tag"]
+_OUT_COLS = _META + ["boundary", "ending", "ts", "value_num", "value_str", "is_dup", "is_zero"]
+
+
+def make_crunch_mapper(lg: LogGroup, global_last_w: int):
+    """Partition-batched phase-B mapper: input sorted by
+    (key_id, w, t, rid) within hash(key_id) partitions; iterates keys
+    with numpy segmentation — amortizes per-key overhead across the
+    whole Arrow batch (vs per-group applyInPandas calls, which cost
+    ~ms per key and serialize the 40k-key case)."""
+
+    def process_frame(pdf: pd.DataFrame, acc: dict) -> None:
+        keys = pdf["key_id"].to_numpy()
+        starts = _np.unique(keys, return_index=True)[1]
+        starts = _np.sort(starts)
+        bounds = list(starts) + [len(pdf)]
+        w = pdf["w"].to_numpy()
+        t = pdf["t"].to_numpy()
+        psum = pdf["psum"].to_numpy()
+        pmax = pdf["pmax_ts"].to_numpy()
+        pri = pdf["pri"].to_numpy()
+        rid = pdf["rid"].to_numpy()
+        val = pdf["val"].to_numpy()
+        ns = pdf["never_stale"].to_numpy()
+        meta_arrays = {c: pdf[c].to_numpy() for c in _META}
+        for k0, k1 in zip(bounds[:-1], bounds[1:]):
+            meta = tuple(meta_arrays[c][k0] for c in _META)
+            metric_type = meta[2]
+            n_before = len(acc["ending"])
+
+            def emit(boundary, ts, snap, is_dup, is_zero):
+                for ending, v in snap.items():
+                    if is_zero:
+                        v = 0
+                    acc["boundary"].append(boundary)
+                    acc["ending"].append(ending)
+                    acc["ts"].append(int(ts))
+                    acc["value_num"].append(float(v))
+                    acc["value_str"].append(format_value(v))
+                    acc["is_dup"].append(is_dup)
+                    acc["is_zero"].append(is_zero)
+
+            _crunch_one_key(
+                lg, global_last_w, metric_type, bool(ns[k0:k1].max()),
+                w[k0:k1], t[k0:k1], psum[k0:k1], pmax[k0:k1],
+                pri[k0:k1], rid[k0:k1], val[k0:k1], emit,
+            )
+            n_new = len(acc["ending"]) - n_before
+            for c, v in zip(_META, meta):
+                acc[c].extend([v] * n_new)
+
+    def mapper(batches):
+        acc = {c: [] for c in _OUT_COLS}
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if pdf.empty:
+                continue
+            keys = pdf["key_id"].to_numpy()
+            # hold back the (possibly batch-spanning) trailing key
+            n_tail = int((keys == keys[-1]).sum())
+            cut = len(pdf) - n_tail
+            if cut > 0:
+                process_frame(pdf.iloc[:cut], acc)
+            pending = pdf.iloc[cut:]
+            if len(acc["ending"]) >= 200_000:
+                yield pd.DataFrame(acc)
+                acc = {c: [] for c in _OUT_COLS}
+        if pending is not None and len(pending):
+            process_frame(pending, acc)
+        if len(acc["ending"]):
+            yield pd.DataFrame(acc)
+
+    return mapper
+
+
+def crunch_emissions(
+    partials: DataFrame, lg: LogGroup, global_last_w: int, num_partitions: int | None = None
+) -> DataFrame:
+    """Phase B over partials: hash-partition by key, sort within
+    partitions, run the batched mapper (one shuffle, bounded state)."""
+    spark = partials.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rep = partials.repartition(n, "key_id").sortWithinPartitions("key_id", "w", "t", "rid")
+    return rep.mapInPandas(make_crunch_mapper(lg, global_last_w), schema=EMISSION_SCHEMA)
 
 
 def aggregate_stage(
@@ -273,5 +370,4 @@ def aggregate_stage(
         if row["mw"] is None:
             return partials.sparkSession.createDataFrame([], EMISSION_SCHEMA)
         global_last_w = int(row["mw"])
-    crunch = make_crunch(lg, global_last_w)
-    return partials.groupBy(*KEY_COLS).applyInPandas(crunch, schema=EMISSION_SCHEMA)
+    return crunch_emissions(partials, lg, global_last_w)

@@ -4,143 +4,166 @@ Reimplements (Spark-first) the reference's tail/extract path
 (``logtail.go:66-156``): line split, 2048-byte long-line guard,
 multi-regex first-match capture extraction with the arity contract,
 filename(url)-derived capture groups appended after the line groups,
-and the ``line_read / line_matched / byte_read`` counters.
+event-time parse with the rfc3164 year patch, and the
+``line_read / line_matched / byte_read`` counters.
 
-Physical design:
+Physical design (v2 — one Arrow pass):
 
-- line split + length guard + url filter are native Catalyst exprs
-  (whole-stage codegen, pushdown-friendly);
-- the multi-pattern first-match capture extraction is the one
-  genuinely regex-suite-shaped step -> a vectorized pandas/Arrow UDF
-  using ``pandas.Series.str.extract`` per pattern over the
-  still-unmatched remainder (first-match-wins order preserved,
-  ``logtail.go:124-140``), no per-row Python;
-- the event-time parse is native ``to_timestamp`` (JVM) with the Go
-  layout translated at config-compile time; the rfc3164 missing-year
-  patch (``datapool.go:132-136``) is a native ``make_timestamp`` with
-  the config's deterministic ``default_year``.
+- the url filter is native (``rlike``) so predicate pushdown and
+  column pruning reach the parquet scan (no ``html`` bytes are ever
+  read when only ``text`` is parsed);
+- everything per-line — split, length guard, first-match-wins regex
+  suite (``logtail.go:124-140``), url-group append, date parse —
+  runs in ONE vectorized ``mapInPandas`` kernel over Arrow batches
+  (pandas ``str.split``/``explode``/``str.extract``/``to_datetime``;
+  no per-row Python). A single Python eval per row by construction:
+  ``mapInPandas`` is an optimizer barrier, so Catalyst can neither
+  duplicate the regex work into pushed-down filters (the
+  double-ArrowEvalPython failure mode of the withColumn+UDF shape)
+  nor reorder around it.
+- the rfc3164 missing-year patch (``datapool.go:132-136``) prepends
+  the configured ``default_year`` to the date string before parsing —
+  deterministic and Feb-29-safe (the oracle does the identical
+  prepend);
+- ``line_read``/``byte_read`` are native ``observe`` aggregates on the
+  scan side (split-size / text length), ``line_matched`` observes the
+  kernel output — the counters cost no extra pass.
 
-Output columns: ``url, warc_ts, lang, line_no, line, g0..gN`` (g0 =
-full match), plus ``event_ts`` timestamp.
+Output columns: ``url, warc_ts, lang, line_no, g0..gN, event_ts``.
 """
 
 from __future__ import annotations
 
+import re as _re
+from typing import Iterator
+
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, StringType
 
 from ..config import LogGroup
-from ..regexc import go_layout_to_java
 
 # observation names (≈ logtail.go:52-64 internal stats)
 OBS_LINES = "tail_lines"
 OBS_MATCHED = "tail_matched"
 
 
-def _make_extract_udf(patterns: tuple[str, ...]):
-    """Vectorized first-match multi-regex extraction.
-
-    Returns ``array<string>`` of [full_match, g1..gN] or null when no
-    pattern matches (the implicit arity filter: a match always yields
-    exactly N+1 groups because group counts are config-validated).
-    """
-
-    @F.pandas_udf(ArrayType(StringType()))
-    def extract(lines: pd.Series) -> pd.Series:
-        result = pd.Series([None] * len(lines), index=lines.index, dtype=object)
-        pending = lines
-        for pat in patterns:
-            if pending.empty:
-                break
-            # wrap to capture the full match as group 0
-            wrapped = f"({pat})"
-            ext = pending.str.extract(wrapped, expand=True)
-            hit = ext[0].notna()
-            if hit.any():
-                sub = ext.loc[hit].astype(object)
-                filled = sub.where(sub.notna(), "")
-                result.loc[hit[hit].index] = pd.Series(
-                    filled.values.tolist(), index=filled.index, dtype=object
-                )
-                pending = pending.loc[~hit]
-        return result
-
-    return extract
-
-
-def split_lines(pages: DataFrame, lg: LogGroup) -> DataFrame:
-    """pages -> one row per text line (native split/posexplode)."""
-    df = pages
-    if lg.url_match:
-        df = df.filter(F.col("url").rlike(lg.url_match))
-    df = df.select(
-        "url",
-        "warc_ts",
-        "lang",
-        F.posexplode(F.split(F.col("text"), "\n")).alias("line_no", "line"),
+def output_schema(lg: LogGroup) -> str:
+    n_url = _re.compile(lg.filename_match).groups if lg.filename_match else 0
+    gcols = ", ".join(
+        f"g{i} string" for i in range(lg.expected_matches + n_url + 1)
     )
-    # long-line guard (logtail.go:86,96-122: lines at the cap are dropped)
-    return df.filter(F.length("line") < lg.max_line_size)
+    return (
+        "url string, warc_ts timestamp_ntz, lang string, line_no int, "
+        f"{gcols}, event_ts timestamp_ntz"
+    )
 
 
-def extract_matches(lines_df: DataFrame, lg: LogGroup, observe: bool = True) -> DataFrame:
-    """lines -> matched rows with g0..gN string columns."""
-    if observe:
-        lines_df = lines_df.observe(
-            OBS_LINES,
-            F.count(F.lit(1)).alias("line_read"),
-            F.sum(F.length("line")).alias("byte_read"),
-        )
-    extract = _make_extract_udf(lg.regexes)
-    df = lines_df.withColumn("m", extract(F.col("line")))
-    df = df.filter(F.col("m").isNotNull())  # arity predicate (logtail.go:129)
-    if observe:
-        df = df.observe(OBS_MATCHED, F.count(F.lit(1)).alias("line_matched"))
+def _make_kernel(lg: LogGroup):
+    """Build the per-batch pandas kernel (driver-side compile, shipped
+    in the closure like the reference's config-time PCRE compile,
+    ``config.go:151-169``)."""
+    patterns = list(lg.regexes)
+    n_groups = lg.expected_matches
+    max_line = lg.max_line_size
+    fn_match = lg.filename_match
+    n_url = _re.compile(fn_match).groups if fn_match else 0
+    date_pos = lg.date.position
+    strp = lg.date.strptime_format
+    has_year = lg.date.has_year
+    year = lg.default_year if lg.default_year is not None else 1970
 
-    cols = [F.col("m").getItem(i).alias(f"g{i}") for i in range(lg.expected_matches + 1)]
-    # filename(url)-derived groups appended after line groups (logtail.go:131-134)
-    n_extra = 0
-    if lg.filename_match:
-        import re as _re
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            # split -> one row per line (vectorized explode)
+            lines = pdf["text"].str.split("\n")
+            ex = pdf[["url", "warc_ts", "lang"]].copy()
+            ex["line"] = lines
+            ex = ex.explode("line", ignore_index=False)
+            ex["line_no"] = ex.groupby(level=0).cumcount()
+            ex = ex.reset_index(drop=True)
+            # long-line guard (logtail.go:86,96-122)
+            ex = ex[ex["line"].str.len() < max_line]
+            if ex.empty:
+                continue
 
-        n_extra = _re.compile(lg.filename_match).groups
-        for j in range(1, n_extra + 1):
-            cols.append(
-                F.regexp_extract(F.col("url"), lg.filename_match, j).alias(
-                    f"g{lg.expected_matches + j}"
-                )
+            # first-match-wins regex suite
+            out = None
+            pending = ex
+            for pat in patterns:
+                if pending.empty:
+                    break
+                g = pending["line"].str.extract(f"({pat})", expand=True)
+                hit = g[0].notna()
+                if hit.any():
+                    sub = pending.loc[hit]
+                    gg = g.loc[hit].fillna("")
+                    gg.columns = [f"g{i}" for i in range(n_groups + 1)]
+                    block = pd.concat([sub, gg], axis=1)
+                    out = block if out is None else pd.concat([out, block])
+                    pending = pending.loc[~hit]
+            if out is None or out.empty:
+                continue
+
+            # url-derived groups appended (logtail.go:131-134)
+            if fn_match:
+                ug = out["url"].str.extract(fn_match, expand=True).fillna("")
+                for j in range(n_url):
+                    out[f"g{n_groups + 1 + j}"] = ug[j]
+
+            # event time (datapool.go:124-136)
+            if date_pos < 0:
+                out["event_ts"] = out["warc_ts"]
+            else:
+                raw = out[f"g{date_pos}"].str.replace(r" +", " ", regex=True)
+                if has_year:
+                    ts = pd.to_datetime(raw, format=strp, errors="coerce", utc=True)
+                else:
+                    ts = pd.to_datetime(
+                        f"{year} " + raw, format=f"%Y {strp}", errors="coerce", utc=True
+                    )
+                out["event_ts"] = ts.dt.tz_convert(None)
+                out = out[out["event_ts"].notna()]
+            if out.empty:
+                continue
+
+            cols = (
+                ["url", "warc_ts", "lang", "line_no"]
+                + [f"g{i}" for i in range(n_groups + n_url + 1)]
+                + ["event_ts"]
             )
-    return df.select("url", "warc_ts", "lang", "line_no", *cols)
+            yield out[cols]
+
+    return kernel
 
 
-def with_event_ts(df: DataFrame, lg: LogGroup) -> DataFrame:
-    """Parse the configured date group into ``event_ts`` (native JVM).
-
-    ``date.position == -1`` uses the source ``warc_ts`` directly.
-    Rows whose date fails to parse are dropped (the reference drops
-    the line, ``datapool.go:126-129``).
-    """
-    if lg.date.position < 0:
-        return df.withColumn("event_ts", F.col("warc_ts"))
-
-    raw: Column = F.regexp_replace(F.col(f"g{lg.date.position}"), " +", " ")
-    java_fmt = go_layout_to_java(lg.date.go_format)
-    # try_to_timestamp: malformed dates yield null (then dropped) even
-    # under ANSI mode, matching the reference's drop-the-line behavior.
-    ts = F.try_to_timestamp(raw, F.lit(java_fmt))
-    if not lg.date.has_year:
-        # rfc3164: no year in the layout -> patch in the configured year
-        year = lg.default_year if lg.default_year is not None else 1970
-        ts = F.make_timestamp(
-            F.lit(year), F.month(ts), F.dayofmonth(ts),
-            F.hour(ts), F.minute(ts), F.second(ts),
-        )
-    df = df.withColumn("event_ts", ts)
-    return df.filter(F.col("event_ts").isNotNull())
+def extract_text_from_html(pages: DataFrame) -> DataFrame:
+    """Recover the ``text`` column from the ``html`` bytes (the
+    input_hint per-row invariant: byte-identical extracted text per
+    url). The synthetic corpus wraps text in a fixed
+    ``<pre>...</pre>`` envelope; a real Common-Crawl deployment plugs
+    its extractor into this same native expression slot. Pure
+    Catalyst: decode + regexp over the binary column, no UDF."""
+    decoded = F.decode(F.col("html"), "UTF-8")
+    inner = F.regexp_extract(decoded, r"(?s)<pre>(.*)</pre>", 1)
+    return pages.withColumn("text_from_html", inner)
 
 
 def parse_stage(pages: DataFrame, lg: LogGroup, observe: bool = True) -> DataFrame:
     """Full parse stage: pages -> matched lines with groups + event_ts."""
-    return with_event_ts(extract_matches(split_lines(pages, lg), lg, observe), lg)
+    df = pages
+    if lg.url_match:
+        df = df.filter(F.col("url").rlike(lg.url_match))
+    df = df.select("url", "warc_ts", "lang", "text")
+    if observe:
+        df = df.observe(
+            OBS_LINES,
+            F.sum(F.size(F.split(F.col("text"), "\n"))).alias("line_read"),
+            F.sum(F.length("text")).alias("byte_read"),
+        )
+    out = df.mapInPandas(_make_kernel(lg), schema=output_schema(lg))
+    if observe:
+        out = out.observe(OBS_MATCHED, F.count(F.lit(1)).alias("line_matched"))
+    return out

@@ -44,13 +44,17 @@ def md5_52bit_py(s: str) -> int:
 
 def _parse_date(lg: LogGroup, raw: str) -> int | None:
     raw = re.sub(" +", " ", raw)
+    fmt = lg.date.strptime_format
+    if not lg.date.has_year:
+        # rfc3164 year patch via prepend (deterministic + Feb-29-safe;
+        # identical strategy in the engine's parse kernel)
+        year = lg.default_year if lg.default_year is not None else 1970
+        raw = f"{year} {raw}"
+        fmt = f"%Y {fmt}"
     try:
-        dt = datetime.strptime(raw, lg.date.strptime_format)
+        dt = datetime.strptime(raw, fmt)
     except ValueError:
         return None
-    if not lg.date.has_year:
-        year = lg.default_year if lg.default_year is not None else 1970
-        dt = dt.replace(year=year)
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=timezone.utc)
     return int(dt.timestamp())

@@ -1,0 +1,136 @@
+"""Tests for training-data ops: text analysis, dedup, similarity,
+multimodal plumbing (graft extras)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logmetrics_spark.functions import dedup as D
+from logmetrics_spark.functions import multimodal as M
+from logmetrics_spark.functions import similarity as S
+from logmetrics_spark.functions import text as T
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["a b  c", "", "   ", "one"]})
+    )
+    got = [r[0] for r in df.select(T.token_count(F.col("text"))).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "text": [
+                    "this is the thing and the other of it",
+                    "le chat est sur la table et le chien",
+                    "der hund und die katze ist da",
+                    "no markers whatsoever xyz",
+                ]
+            }
+        )
+    )
+    got = [r["lang_pred"] for r in T.with_lang_id(df).collect()]
+    assert got == ["en", "fr", "de", "und"]
+
+
+def test_exact_dedup_finds_known_dup(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["Same  Doc", "same doc", "different"]}
+        )
+    )
+    out = {r["keeper_id"]: r["n_docs"] for r in D.exact_dedup(df).collect()}
+    # whitespace-normalized + lowercased => 1 and 2 collapse
+    assert out[1] == 2 and out[3] == 1
+
+
+def test_jaccard_pair_value(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["a b c d e", "a b c d x"],
+            }
+        )
+    )
+    rows = D.ngram_jaccard_pairs(df, 0.1).collect()
+    assert len(rows) == 1
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cdx}: inter 2, union 4 -> 0.5
+    assert rows[0]["jaccard6"] == 0.5
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    exact = {
+        (r["id_a"], r["id_b"]) for r in D.ngram_jaccard_pairs(docs, 0.5).collect()
+    }
+    lsh = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, 0.5).collect()}
+    assert lsh <= exact  # verification guarantees precision 1.0
+    if exact:
+        recall = len(lsh) / len(exact)
+        assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_simhash_identical_docs_distance_zero(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta gamma", "alpha beta gamma"]})
+    )
+    rows = D.simhash_pairs(df, 0).collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == 0
+
+
+def test_ann_ivf_recall(spark, emb):
+    queries = S.make_queries(emb, 50)
+    exact = S.cosine_topk(emb, queries, 5).collect()
+    approx = S.ivf_topk(emb, queries, S.make_centroids(emb, 25), 5, 3).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        if r["vec_id"] in exact_sets.get(r["q_id"], set()):
+            hit += 1
+    assert total > 0
+    assert hit / total >= 0.4, f"IVF recall@5 too low: {hit}/{total}"
+
+
+def test_multimodal_decode_roundtrip(spark):
+    pdf = pd.DataFrame(
+        {
+            "media_id": [1, 2],
+            "payload": [M.fake_payload(1, 8, 6, 3), M.fake_payload(2, 4, 4, 1)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = {r["media_id"]: r for r in M.decode_stage(df).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (8, 6, 3)
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (4, 4, 1)
+    assert 0.0 <= out[1]["mean_pixel"] <= 255.0
+    thumbs = {r["media_id"]: r for r in M.resize_stage(df, 4, 3).collect()}
+    assert len(bytes(thumbs[1]["thumb"])) == 4 * 3 * 3
+    frames = {r["media_id"]: r for r in M.frame_sample_stage(df, 2).collect()}
+    assert frames[2]["n_frames"] == 2  # 4 rows -> every 2nd
+
+
+def test_multimodal_real_codec_is_stubbed(spark):
+    df = spark.createDataFrame(pd.DataFrame({"media_id": [1], "payload": [b"\x89PNG..."]}))
+    # raised inside the task -> surfaces as a PythonException wrapper
+    with pytest.raises(Exception, match="only the LMIMG fake-payload format"):
+        M.decode_stage(df).collect()
+    with pytest.raises(NotImplementedError):
+        M.real_decode_stage(df)

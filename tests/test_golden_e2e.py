@@ -38,6 +38,25 @@ def test_partition_invariance(spark, pages, apache_cfg):
     assert one == many
 
 
+def test_fast_path_no_dups_equals_oracle(spark, pages, pages_pdf, rest_cfg):
+    """send_duplicates=False triggers the O(updates) crunch fast path;
+    the oracle still runs the full per-window scan — equality proves
+    the fast path equivalent (stale zero-out boundaries included)."""
+    import dataclasses
+
+    for stale in (True, False):
+        lgs = tuple(
+            dataclasses.replace(
+                lg, send_duplicates=False, stale_removal=stale, stale_treshold_min=2
+            )
+            for lg in rest_cfg.log_groups
+        )
+        cfg = dataclasses.replace(rest_cfg, log_groups=lgs)
+        assert _engine_rows(spark, cfg, pages) == _oracle_rows(pages_pdf, cfg), (
+            f"fast-path mismatch (stale_removal={stale})"
+        )
+
+
 def test_per_sink_counts(spark, pages, pages_pdf, rest_cfg):
     eng = _engine_rows(spark, rest_cfg, pages)
     orc = _oracle_rows(pages_pdf, rest_cfg)

@@ -6,7 +6,7 @@ import hashlib
 import pandas as pd
 from pyspark.sql import functions as F
 
-from logmetrics_spark.operators.parse import parse_stage, split_lines
+from logmetrics_spark.operators.parse import parse_stage
 from logmetrics_spark.sources.synth import gen_page
 
 REST_LINE = (
@@ -103,34 +103,20 @@ def test_bad_date_drops_line(spark, apache_cfg):
 
 
 def test_byte_identical_text_per_url(spark, pages, spec):
-    """input_hint invariant: extracted text == generator ground truth,
-    enforced via md5 over the line-split/reassembled text."""
-    split = (
-        split_lines(pages, type("L", (), {"url_match": None, "max_line_size": 1 << 30})())
-        .groupBy("url")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
-                    lambda s: s["line"],
-                ),
-                "\n",
-            ).alias("re_text")
-        )
-    )
+    """input_hint invariant: text extracted from the html bytes ==
+    the text column == generator ground truth (md5 per url)."""
+    from logmetrics_spark.operators.parse import extract_text_from_html
     from logmetrics_spark.sources.synth import gen_pages_pdf
     import numpy as np
 
-    got = {
-        r["url"]: hashlib.md5(r["re_text"].encode()).hexdigest()
-        for r in split.collect()
-    }
+    ext = extract_text_from_html(pages).select(
+        "url", F.md5("text").alias("h_text"), F.md5("text_from_html").alias("h_html")
+    )
+    got = {r["url"]: (r["h_text"], r["h_html"]) for r in ext.collect()}
     truth_pdf = gen_pages_pdf(np.arange(spec.n_rows), spec)
-    truth = {
-        u: hashlib.md5(t.encode()).hexdigest()
-        for u, t in zip(truth_pdf["url"], truth_pdf["text"])
-    }
-    assert got == truth
+    for u, t in zip(truth_pdf["url"], truth_pdf["text"]):
+        h = hashlib.md5(t.encode()).hexdigest()
+        assert got[u] == (h, h), f"text invariant broken for {u}"
 
 
 def test_observe_counters(spark, rest_cfg, pages):

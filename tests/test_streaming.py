@@ -1,0 +1,99 @@
+"""Structured Streaming stage tests: file-source stream, watermarked
+partials (streaming result == batch result), stateful meter operator."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from logmetrics_spark.plans.pipeline import build_datapoints
+from logmetrics_spark.sources.synth import SynthSpec, gen_pages_pdf
+from logmetrics_spark.streaming.stream_pipeline import (
+    read_pages_stream,
+    run_stream_to_table,
+    streaming_datapoints,
+    streaming_meters,
+    streaming_partials,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("stream")
+    src = str(base / "pages")
+    os.makedirs(src, exist_ok=True)
+    spec = SynthSpec(n_rows=80, time_span_seconds=300)
+    pdf = gen_pages_pdf(np.arange(80), spec)
+    # two "discovered files" (the glob-poller analog)
+    spark.createDataFrame(pdf.iloc[:40]).coalesce(1).write.mode("overwrite").parquet(src + "/f1")
+    spark.createDataFrame(pdf.iloc[40:]).coalesce(1).write.mode("overwrite").parquet(src + "/f2")
+    # flatten: stream source reads a dir of parquet files
+    flat = str(base / "flat")
+    os.makedirs(flat, exist_ok=True)
+    import glob as _g
+    import shutil
+
+    for i, f in enumerate(sorted(_g.glob(src + "/f*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/file{i}.parquet")
+    return {"flat": flat, "base": str(base), "pdf": pdf}
+
+
+def test_streaming_partials_match_batch(spark, rest_cfg, stream_dirs):
+    lg = rest_cfg.log_groups[0]
+    stream = read_pages_stream(spark, stream_dirs["flat"], max_files=1)
+    sp = streaming_partials(streaming_datapoints(stream, lg), lg, watermark="0 seconds")
+    out = f"{stream_dirs['base']}/partials_out"
+    ck = f"{stream_dirs['base']}/ck1"
+    q = run_stream_to_table(sp, out, ck)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    batch_pages = spark.read.parquet(stream_dirs["flat"])
+    bdp = build_datapoints(batch_pages, lg)
+    expect = (
+        bdp.withColumn("event_time", F.col("ts_sec").cast("timestamp"))
+        .groupBy(
+            "key_id",
+            F.window("event_time", f"{lg.interval} seconds").alias("win"),
+        )
+        .agg(F.sum("value").alias("psum"))
+        .select("key_id", F.unix_timestamp("win.start").cast("long").alias("w_start"), "psum")
+    )
+    g = {(r["key_id"], r["w_start"]): r["psum"] for r in got.select("key_id", "w_start", "psum").collect()}
+    e = {(r["key_id"], r["w_start"]): r["psum"] for r in expect.collect()}
+    # append-mode streaming emits only watermark-closed windows: subset
+    assert g, "stream produced no partials"
+    for k, v in g.items():
+        assert e.get(k) == v, f"partial mismatch at {k}: {v} vs {e.get(k)}"
+    # with watermark 0 and availableNow, all but the last window close
+    assert len(g) >= len(e) - len({r["key_id"] for r in expect.collect()})
+
+
+def test_streaming_meters_stateful(spark, rest_cfg, stream_dirs):
+    lg = rest_cfg.log_groups[0]
+    stream = read_pages_stream(spark, stream_dirs["flat"], max_files=2)
+    sm = streaming_meters(streaming_datapoints(stream, lg), lg, watermark="0 seconds")
+    out = f"{stream_dirs['base']}/meters_out"
+    ck = f"{stream_dirs['base']}/ck2"
+    q = run_stream_to_table(sm, out, ck)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert rows, "stateful meter stream produced no rows"
+    batch_counts = {
+        r["key_id"]: r["total"]
+        for r in build_datapoints(spark.read.parquet(stream_dirs["flat"]), lg)
+        .filter(F.col("metric_type") == "meter")
+        .groupBy("key_id")
+        .agg(F.sum("value").alias("total"))
+        .collect()
+    }
+    # last state snapshot per key must equal the batch total
+    latest = {}
+    for r in rows:
+        if r["key_id"] not in latest or r["ts"] >= latest[r["key_id"]]["ts"]:
+            latest[r["key_id"]] = r
+    for k, r in latest.items():
+        assert batch_counts.get(k) == r["count"], f"meter count mismatch for {k}"
+    assert all(r["rate_1min"] >= 0 for r in rows)
