@@ -76,6 +76,60 @@ EMISSION_SCHEMA = (
 )
 
 
+_META_COLS = list(KEY_COLS) + ["never_stale"]
+
+
+def local_reduce_frame(pdf: pd.DataFrame, lg: LogGroup) -> pd.DataFrame | None:
+    """In-memory phase-A reduction of one datapoint frame (must carry
+    ``w``, ``t``, ``h52`` columns): per-(key, w, t) sums for
+    meters/counters, top-s reservoir candidates per (key, w) for
+    histograms. Shared by the staged local reducer and the fused
+    kernel — associativity makes any batching sound."""
+    if pdf.empty:
+        return None
+    size = lg.histogram_size
+    alpha = lg.histogram_alpha_decay
+    hist = pdf[pdf["metric_type"] == "histogram"]
+    rest = pdf[pdf["metric_type"] != "histogram"]
+    frames = []
+    if len(rest):
+        sums = rest.groupby(_META_COLS + ["w", "t"], sort=False, as_index=False).agg(
+            psum=("value", "sum"), pmax_ts=("ts_sec", "max")
+        )
+        sums["pri"] = pd.array([None] * len(sums), dtype="float64")
+        sums["rid"] = pd.array([None] * len(sums), dtype="Int64")
+        sums["val"] = pd.array([None] * len(sums), dtype="Int64")
+        frames.append(sums)
+    if len(hist):
+        u = np_uniform_from_hash52(hist["h52"].to_numpy())
+        hist = hist.assign(pri=np_priorities(hist["ts_sec"].to_numpy(), u, alpha))
+        grp = hist.groupby(["key_id", "w"], sort=False)
+        hist = hist.assign(grp_max_ts=grp["ts_sec"].transform("max"))
+        kept = (
+            hist.sort_values(["pri", "record_id"], ascending=False)
+            .groupby(["key_id", "w"], sort=False)
+            .head(size)
+        )
+        frames.append(
+            pd.DataFrame(
+                {
+                    **{c: kept[c] for c in _META_COLS},
+                    "w": kept["w"],
+                    "t": 0,
+                    "psum": pd.array([None] * len(kept), dtype="Int64"),
+                    "pmax_ts": kept["grp_max_ts"],
+                    "pri": kept["pri"],
+                    "rid": kept["record_id"],
+                    "val": kept["value"],
+                }
+            )
+        )
+    if not frames:
+        return None
+    out = pd.concat(frames, ignore_index=True)
+    return out[_META_COLS + ["w", "t", "psum", "pmax_ts", "pri", "rid", "val"]]
+
+
 def partial_stage(dp: DataFrame, lg: LogGroup) -> DataFrame:
     """Phase A: associative pre-aggregation of raw datapoints.
 
@@ -119,50 +173,11 @@ def partial_stage(dp: DataFrame, lg: LogGroup) -> DataFrame:
         )
     )
 
-    meta_cols = list(KEY_COLS) + ["never_stale"]
-
     def local_reduce(batches):
         for pdf in batches:
-            if pdf.empty:
-                continue
-            hist = pdf[pdf["metric_type"] == "histogram"]
-            rest = pdf[pdf["metric_type"] != "histogram"]
-            frames = []
-            if len(rest):
-                sums = rest.groupby(meta_cols + ["w", "t"], sort=False, as_index=False).agg(
-                    psum=("value", "sum"), pmax_ts=("ts_sec", "max")
-                )
-                sums["pri"] = pd.array([None] * len(sums), dtype="float64")
-                sums["rid"] = pd.array([None] * len(sums), dtype="Int64")
-                sums["val"] = pd.array([None] * len(sums), dtype="Int64")
-                frames.append(sums)
-            if len(hist):
-                u = np_uniform_from_hash52(hist["h52"].to_numpy())
-                hist = hist.assign(pri=np_priorities(hist["ts_sec"].to_numpy(), u, alpha))
-                grp = hist.groupby(["key_id", "w"], sort=False)
-                hist = hist.assign(grp_max_ts=grp["ts_sec"].transform("max"))
-                kept = (
-                    hist.sort_values(["pri", "record_id"], ascending=False)
-                    .groupby(["key_id", "w"], sort=False)
-                    .head(size)
-                )
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            **{c: kept[c] for c in meta_cols},
-                            "w": kept["w"],
-                            "t": 0,
-                            "psum": pd.array([None] * len(kept), dtype="Int64"),
-                            "pmax_ts": kept["grp_max_ts"],
-                            "pri": kept["pri"],
-                            "rid": kept["record_id"],
-                            "val": kept["value"],
-                        }
-                    )
-                )
-            if frames:
-                out = pd.concat(frames, ignore_index=True)
-                yield out[meta_cols + ["w", "t", "psum", "pmax_ts", "pri", "rid", "val"]]
+            out = local_reduce_frame(pdf, lg)
+            if out is not None:
+                yield out
 
     return enriched.mapInPandas(local_reduce, schema=PARTIAL_SCHEMA)
 
@@ -365,6 +380,13 @@ def aggregate_stage(
     explicitly to keep the plan lazy (e.g. from source table stats)."""
     partials = partial_stage(dp, lg)
     if global_last_w is None:
+        if not lg.send_duplicates and not lg.stale_removal:
+            # fast path never reads the global bound (no heartbeat
+            # windows, no stale tail) -> skip the persist + max action
+            # entirely: the whole pipeline becomes ONE fused job
+            # (scan -> parse -> fan-out -> local reduce -> shuffle ->
+            # crunch), nothing blocks on the driver.
+            return crunch_emissions(partials, lg, -1)
         partials = partials.persist()
         row = partials.agg(F.max("w").alias("mw")).collect()[0]
         if row["mw"] is None:

@@ -1,0 +1,272 @@
+"""Fused single-kernel pipeline: pages -> phase-A partials in ONE
+``mapInPandas`` pass.
+
+The staged plan (parse kernel -> native transform/fan-out exprs ->
+local-reduce kernel) crosses the JVM<->Python Arrow socket twice, and
+the second crossing carries the 13x-exploded datapoint stream — the
+widest data in the whole job. On a 32-thread local run that traffic is
+a measured syscall storm (88% kernel time). This kernel fuses
+parse -> transform -> enrich -> tags/values -> fan-out -> local
+reduction into one vectorized pandas pass, so only pages enter Python
+and only pre-reduced partials leave. Semantics are IDENTICAL to the
+staged operators — both are pinned against the same sequential oracle
+by the golden tests (test_golden_e2e runs both modes).
+
+At cluster scale this is the production path: one wide narrow-stage
+per log group, shuffling O(keys x windows) partial rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import LogGroup, TransformDef
+from ..regexc import clean_verbose_regex
+from .aggregate import PARTIAL_SCHEMA, local_reduce_frame
+from .parse import OBS_LINES, OBS_MATCHED, make_parse_fn
+
+_INT_RE = r"[+-]?\d+"
+
+
+def _strict_int(s: pd.Series) -> pd.Series:
+    """Go-ParseInt-strict int64 parse -> float64 with NaN on failure."""
+    ok = s.str.fullmatch(_INT_RE).fillna(False)
+    out = pd.to_numeric(s.where(ok), errors="coerce")
+    return out.astype("float64")
+
+
+def _expand_template(template: str, source: pd.Series, pattern: str) -> pd.Series:
+    """Whole-value template replacement (transform.go:50-59): value
+    becomes the template with @@n@@ -> capture group n of pattern."""
+    parts = re.split(r"@@(\d+)@@", template)
+    ext = None
+    result = pd.Series([""] * len(source), index=source.index, dtype=object)
+    for i, part in enumerate(parts):
+        if i % 2 == 0:
+            if part:
+                result = result + part
+        else:
+            if ext is None:
+                # wrap so the full match is capture 0 -> extract column
+                # n holds original group n (column 0 = full match)
+                ext = source.str.extract(f"({pattern})", expand=True).fillna("")
+            result = result + ext[int(part)]
+    return result
+
+
+def _apply_transform_series(tdef: TransformDef, s: pd.Series, apply_all: bool) -> pd.Series:
+    ops = [(op.kind, clean_verbose_regex(op.pattern), op.arg) for op in tdef.operations]
+    only_one = tdef.replace_only_one and not apply_all
+    if only_one:
+        original = s
+        done = pd.Series(False, index=s.index)
+        for kind, pat, arg in ops:
+            if kind != "replace":
+                continue
+            hit = original.str.contains(pat, regex=True) & ~done
+            if hit.any():
+                s = s.mask(hit, _expand_template(arg, original, pat))
+                done = done | hit
+        for kind, pat, arg in ops:
+            if kind != "match_or_default":
+                continue
+            s = s.where(s.str.contains(pat, regex=True), arg)
+        return s
+    for kind, pat, arg in ops:
+        if kind == "replace":
+            hit = s.str.contains(pat, regex=True)
+            if hit.any():
+                s = s.mask(hit, _expand_template(arg, s, pat))
+        else:
+            s = s.where(s.str.contains(pat, regex=True), arg)
+    return s
+
+
+def make_fused_kernel(lg: LogGroup, lookup: dict | None = None):
+    """pages batches -> PARTIAL_SCHEMA batches. ``lookup`` is the
+    broadcast enrichment dim as {key: (v1, v2...)} with a
+    ``__columns__`` entry (same shape the oracle consumes)."""
+    parse_frame = make_parse_fn(lg)
+    tdefs = lg.transform_by_position()
+    apply_all = lg.compat.transform_apply_all
+    interval = lg.interval
+    ewma = lg.ewma_interval
+
+    lk_cols: list[str] = list(lookup["__columns__"]) if lookup else []
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pages_pdf in batches:
+            m = parse_frame(pages_pdf)
+            if m is None or m.empty:
+                continue
+            # transforms
+            for pos, tdef in tdefs.items():
+                col = f"g{pos}"
+                if col in m.columns:
+                    m[col] = _apply_transform_series(tdef, m[col], apply_all)
+
+            # tags (+ broadcast enrichment), alphabetical
+            tag_vals: dict[str, pd.Series | str] = {}
+            for name, pos_or_lit in lg.tags:
+                tag_vals[name] = m[f"g{pos_or_lit}"] if isinstance(pos_or_lit, int) else pos_or_lit
+            if lookup is not None and lg.lookup is not None:
+                keyser = m[f"g{lg.lookup_key_position}"]
+                for ci, cname in enumerate(lk_cols):
+                    tag_vals[cname] = keyser.map(
+                        lambda k: lookup[k][ci] if k in lookup else "unknown"
+                    )
+            tags = None
+            for name in sorted(tag_vals):
+                piece = f"{name}=" + tag_vals[name] if isinstance(tag_vals[name], pd.Series) else f"{name}={tag_vals[name]}"
+                if isinstance(piece, str):
+                    piece = pd.Series(piece, index=m.index)
+                tags = piece if tags is None else tags + " " + piece
+            if tags is None:
+                tags = pd.Series("", index=m.index)
+
+            ts_sec = (m["event_ts"].astype("int64") // 1_000_000_000).astype("int64")
+            record_id = pd.Series(
+                [
+                    int(hashlib.md5(f"{u}|{t}|{l}".encode()).hexdigest()[:13], 16)
+                    for u, t, l in zip(m["url"], ts_sec, m["line_no"])
+                ],
+                index=m.index,
+                dtype="int64",
+            )
+
+            # values per reference (datapool.go:138-207), line validity
+            valid = pd.Series(True, index=m.index)
+            parsed_int: dict[int, pd.Series] = {}
+
+            def int_at(pos: int) -> pd.Series:
+                if pos not in parsed_int:
+                    parsed_int[pos] = _strict_int(m[f"g{pos}"])
+                return parsed_int[pos]
+
+            ref_values: list[tuple] = []  # (mdef, ref, value Series)
+            for mdef in lg.metrics:
+                running: dict[int, pd.Series] = {}
+                for ref in mdef.references:
+                    if lg.compat.cumulative_ops and ref.position in running:
+                        base = running[ref.position]
+                    elif ref.position == 0:
+                        base = pd.Series(1.0, index=m.index)
+                    elif mdef.value_format == "float":
+                        f = pd.to_numeric(m[f"g{ref.position}"], errors="coerce").astype("float64")
+                        valid &= f.notna()
+                        if mdef.multiply == 1 and mdef.divide == 1:
+                            base = (
+                                pd.Series(0.0, index=m.index)
+                                if lg.compat.float_noscale_zero
+                                else np.trunc(f)
+                            )
+                        else:
+                            if mdef.multiply > 1:
+                                f = f * float(mdef.multiply)
+                            if mdef.divide > 1:
+                                f = f / float(mdef.divide)
+                            base = np.trunc(f)
+                    else:
+                        v = int_at(ref.position)
+                        valid &= v.notna()
+                        if mdef.multiply > 1:
+                            v = v * mdef.multiply
+                        if mdef.divide > 1:
+                            v = np.trunc(v / mdef.divide)
+                        base = v
+                    val = base
+                    for pos in ref.add:
+                        if pos != 0:
+                            o = int_at(pos)
+                            valid &= o.notna()
+                            val = val + o
+                    for pos in ref.sub:
+                        if pos != 0:
+                            o = int_at(pos)
+                            valid &= o.notna()
+                            val = val - o
+                    if lg.compat.cumulative_ops:
+                        running[ref.position] = val
+                    if lg.warn_on_operation_fail and (ref.add or ref.sub):
+                        valid &= val.fillna(-1) >= 0
+                    ref_values.append((mdef, ref, val))
+
+            if not valid.all():
+                keep = valid
+                m2_index = m.index[keep]
+            else:
+                m2_index = m.index
+
+            if len(m2_index) == 0:
+                continue
+
+            # fan-out: one small frame per reference, then local reduce
+            frames = []
+            tags_k = tags.loc[m2_index]
+            ts_k = ts_sec.loc[m2_index]
+            rid_k = record_id.loc[m2_index]
+            for mdef, ref, val in ref_values:
+                key_name = f"{lg.key_prefix}.{mdef.key_suffix}|{mdef.metric_type}|"
+                key_id = key_name + tags_k + f"|{ref.tag}"
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "key_id": key_id,
+                            "group": lg.name,
+                            "metric_type": mdef.metric_type,
+                            "key_prefix": lg.key_prefix,
+                            "key_suffix": mdef.key_suffix,
+                            "tags": tags_k,
+                            "ref_tag": ref.tag,
+                            "never_stale": mdef.never_stale,
+                            "ts_sec": ts_k,
+                            "value": val.loc[m2_index].astype("int64"),
+                            "record_id": rid_k,
+                        }
+                    )
+                )
+            dp = pd.concat(frames, ignore_index=True)
+            dp["w"] = dp["ts_sec"] // interval
+            dp["t"] = np.where(
+                dp["metric_type"].to_numpy() == "meter", dp["ts_sec"] // ewma, 0
+            )
+            is_hist = dp["metric_type"].to_numpy() == "histogram"
+            h52 = np.zeros(len(dp), dtype="float64")
+            if is_hist.any():
+                kid = dp["key_id"].to_numpy()
+                rid = dp["record_id"].to_numpy()
+                idx = np.nonzero(is_hist)[0]
+                h52[idx] = [
+                    int(hashlib.md5(f"{kid[i]}|{rid[i]}".encode()).hexdigest()[:13], 16)
+                    for i in idx
+                ]
+            dp["h52"] = h52
+            out = local_reduce_frame(dp, lg)
+            if out is not None and len(out):
+                yield out
+
+    return kernel
+
+
+def fused_partials(
+    pages: DataFrame, lg: LogGroup, lookup: dict | None = None, observe: bool = True
+) -> DataFrame:
+    """pages -> phase-A partials, one fused kernel (one Python stage)."""
+    df = pages
+    if lg.url_match:
+        df = df.filter(F.col("url").rlike(lg.url_match))
+    df = df.select("url", "warc_ts", "lang", "text")
+    if observe:
+        df = df.observe(
+            f"{OBS_LINES}.{lg.name}",  # unique per group: unioned plans
+            F.sum(F.size(F.split(F.col("text"), "\n"))).alias("line_read"),
+            F.sum(F.length("text")).alias("byte_read"),
+        )
+    return df.mapInPandas(make_fused_kernel(lg, lookup), schema=PARTIAL_SCHEMA)

@@ -59,6 +59,20 @@ def output_schema(lg: LogGroup) -> str:
     )
 
 
+def make_parse_fn(lg: LogGroup):
+    """Per-frame parse function (pages pdf -> matched-lines pdf or
+    None); shared by the parse mapInPandas kernel and the fused
+    single-kernel pipeline (operators/fused.py)."""
+    kernel = _make_kernel(lg)
+
+    def parse_frame(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        for out in kernel(iter([pdf])):
+            return out
+        return None
+
+    return parse_frame
+
+
 def _make_kernel(lg: LogGroup):
     """Build the per-batch pandas kernel (driver-side compile, shipped
     in the closure like the reference's config-time PCRE compile,
@@ -159,11 +173,11 @@ def parse_stage(pages: DataFrame, lg: LogGroup, observe: bool = True) -> DataFra
     df = df.select("url", "warc_ts", "lang", "text")
     if observe:
         df = df.observe(
-            OBS_LINES,
+            f"{OBS_LINES}.{lg.name}",  # unique per group: unioned plans
             F.sum(F.size(F.split(F.col("text"), "\n"))).alias("line_read"),
             F.sum(F.length("text")).alias("byte_read"),
         )
     out = df.mapInPandas(_make_kernel(lg), schema=output_schema(lg))
     if observe:
-        out = out.observe(OBS_MATCHED, F.count(F.lit(1)).alias("line_matched"))
+        out = out.observe(f"{OBS_MATCHED}.{lg.name}", F.count(F.lit(1)).alias("line_matched"))
     return out

@@ -103,7 +103,9 @@ def run_stage1_units(
             back = spark.read.parquet(os.path.join(out_dir, f"g={lg.name}"))
             agg = back.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64("key_id", "w", "t")).alias("chk"),
+                # order-free audit checksum, bounded to avoid ANSI
+                # long-sum overflow on full-range xxhash64 values
+                F.sum(F.pmod(F.xxhash64("key_id", "w", "t"), F.lit(1 << 31))).alias("chk"),
             ).collect()[0]
             total_rows += agg["n"]
             checksum ^= (agg["chk"] or 0) & ((1 << 63) - 1)

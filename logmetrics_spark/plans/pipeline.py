@@ -50,12 +50,48 @@ def build_datapoints(
     return datapoint_stage(matched, lg, extra_tags)
 
 
+def lookup_df_to_dict(lookup: DataFrame | None) -> dict | None:
+    """Broadcast dim as a plain dict for the fused kernel / oracle
+    format: {key: (v1, ...), '__columns__': [names]} — dims are tiny
+    by contract (FIXTURES.md §2), so driver-side collect is the
+    broadcast."""
+    if lookup is None:
+        return None
+    cols = lookup.columns
+    d: dict = {"__columns__": list(cols[1:])}
+    for r in lookup.collect():
+        d[r[cols[0]]] = tuple(r[c] for c in cols[1:])
+    return d
+
+
 def build_emissions(
     pages: DataFrame,
     lg: LogGroup,
     lookup: DataFrame | None = None,
     global_last_w: int | None = None,
+    mode: str = "fused",
 ) -> DataFrame:
+    """``mode="fused"``: one-kernel pages->partials (production path —
+    only pages enter Python, only partials leave). ``mode="staged"``:
+    discrete operators with Catalyst-visible transform/fan-out exprs
+    (introspectable; used by operator-level tests and lineage units).
+    Both are pinned to the same oracle."""
+    from ..operators.aggregate import crunch_emissions, partial_stage
+    from ..operators.fused import fused_partials
+
+    if mode == "fused":
+        partials = fused_partials(pages, lg, lookup_df_to_dict(lookup) if lg.lookup else None)
+        if not lg.send_duplicates and not lg.stale_removal:
+            return crunch_emissions(partials, lg, -1)
+        partials = partials.persist()
+        from pyspark.sql import functions as F2
+
+        row = partials.agg(F2.max("w").alias("mw")).collect()[0]
+        if row["mw"] is None:
+            from ..operators.aggregate import EMISSION_SCHEMA
+
+            return partials.sparkSession.createDataFrame([], EMISSION_SCHEMA)
+        return crunch_emissions(partials, lg, int(row["mw"]))
     dp = build_datapoints(pages, lg, lookup)
     return aggregate_stage(dp, lg, global_last_w)
 
@@ -67,6 +103,7 @@ def run_pipeline(
     io: TableIO | None = None,
     lookups: dict[str, DataFrame] | None = None,
     write: bool = True,
+    mode: str = "fused",
 ) -> PipelineResult:
     """Run every configured log group and union the routed output."""
     lookups = lookups or {}
@@ -75,7 +112,7 @@ def run_pipeline(
     stats: dict = {}
 
     for lg in cfg.log_groups:
-        emissions = build_emissions(pages, lg, lookups.get(lg.lookup or ""))
+        emissions = build_emissions(pages, lg, lookups.get(lg.lookup or ""), mode=mode)
         routed = route_stage(emissions, cfg.settings)
         emission_parts.append(emissions)
         routed_parts.append(routed)

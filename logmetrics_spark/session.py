@@ -28,11 +28,24 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # modest Arrow batches: with chained pandas stages, giant
+        # batches multiply per-worker peak memory by active tasks and
+        # collapse throughput at high parallelism (measured 5x)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )
+    # one compute thread per python worker: N workers each spinning up
+    # an OpenMP/Arrow pool of machine-width oversubscribes the box
+    # quadratically (N tasks x N threads) — measured ~2x on the fused
+    # parse+reduce stage at local[32]. In local mode python workers
+    # fork from this process, so set the env here (executorEnv covers
+    # the cluster case).
+    for env in ("OMP_NUM_THREADS", "ARROW_NUM_THREADS", "OPENBLAS_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(env, "1")
+        builder = builder.config(f"spark.executorEnv.{env}", "1")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -8,9 +8,9 @@ from logmetrics_spark.plans.pipeline import run_pipeline
 from logmetrics_spark.sources.synth import gen_hosts_lookup_dict, gen_hosts_lookup_pdf
 
 
-def _engine_rows(spark, cfg, pages):
+def _engine_rows(spark, cfg, pages, mode="fused"):
     lk = {"hosts": spark.createDataFrame(gen_hosts_lookup_pdf())}
-    res = run_pipeline(spark, cfg, pages, io=None, lookups=lk, write=False)
+    res = run_pipeline(spark, cfg, pages, io=None, lookups=lk, write=False, mode=mode)
     return collections.Counter(
         (r["line"], r["sink"]) for r in res.routed.collect()
     )
@@ -24,11 +24,15 @@ def _oracle_rows(pages_pdf, cfg):
 
 
 def test_rest_api_routed_row_equality(spark, pages, pages_pdf, rest_cfg):
-    assert _engine_rows(spark, rest_cfg, pages) == _oracle_rows(pages_pdf, rest_cfg)
+    expect = _oracle_rows(pages_pdf, rest_cfg)
+    assert _engine_rows(spark, rest_cfg, pages, "fused") == expect
+    assert _engine_rows(spark, rest_cfg, pages, "staged") == expect
 
 
 def test_apache_routed_row_equality(spark, pages, pages_pdf, apache_cfg):
-    assert _engine_rows(spark, apache_cfg, pages) == _oracle_rows(pages_pdf, apache_cfg)
+    expect = _oracle_rows(pages_pdf, apache_cfg)
+    assert _engine_rows(spark, apache_cfg, pages, "fused") == expect
+    assert _engine_rows(spark, apache_cfg, pages, "staged") == expect
 
 
 def test_partition_invariance(spark, pages, apache_cfg):
