@@ -37,6 +37,10 @@ def q(name: str, sql: str | None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver owns the session: pin UTC so NTZ->epoch conversions
+    # match DuckDB's treatment of naive timestamps regardless of the
+    # host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

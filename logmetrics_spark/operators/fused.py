@@ -20,7 +20,12 @@ from __future__ import annotations
 
 import hashlib
 import re
+import warnings
 from typing import Iterator
+
+# str.contains is used purely as a match predicate; the patterns
+# legitimately carry groups (shared with the extract-based templates)
+warnings.filterwarnings("ignore", message="This pattern is interpreted as a regular expression")
 
 import numpy as np
 import pandas as pd

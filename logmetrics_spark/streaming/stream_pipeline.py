@@ -162,6 +162,51 @@ def streaming_meters(dp: DataFrame, lg: LogGroup, watermark: str = "2 minutes") 
     )
 
 
+def run_streaming_routed(
+    spark: SparkSession,
+    cfg,
+    pages_path: str,
+    out_dir: str,
+    lookups: dict | None = None,
+    available_now: bool = True,
+):
+    """End-to-end streaming: pages file-stream -> foreachBatch runs the
+    batch pipeline incrementally and appends routed rows per
+    micro-batch. The checkpoint directory makes the whole chain
+    resumable (restart continues from the last committed offset — the
+    streaming counterpart of plans/lineage.py).
+
+    Semantics note: each micro-batch is aggregated independently
+    (per-batch windows), so cumulative counts/EWMAs reset per batch —
+    the production pattern for exact continuity is the
+    streaming-partials -> periodic-batch-crunch split
+    (:func:`streaming_partials`); this entry point exists for the
+    route-to-sink plumbing and offset-resume story."""
+    import os
+
+    from ..plans.pipeline import run_pipeline
+
+    stream = read_pages_stream(spark, pages_path)
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = run_pipeline(spark, cfg, batch_df, io=None, lookups=lookups, write=False)
+        (
+            res.routed.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("sink")
+            .parquet(os.path.join(out_dir, "routed"))
+        )
+
+    w = stream.writeStream.foreachBatch(handle_batch).option(
+        "checkpointLocation", os.path.join(out_dir, "checkpoint")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def run_stream_to_table(
     stream_df: DataFrame, out_path: str, checkpoint: str, available_now: bool = True
 ):

@@ -166,8 +166,14 @@ class MeterState:
 
     _MINUTES = (1.0, 5.0, 15.0)
 
-    def _alpha(self, minutes: float) -> float:
-        return 1.0 - math.exp(-self.tick_seconds / 60.0 / minutes)
+    def _alphas(self) -> tuple[float, float, float]:
+        a = getattr(self, "_alpha_cache", None)
+        if a is None:
+            a = tuple(
+                1.0 - math.exp(-self.tick_seconds / 60.0 / m) for m in self._MINUTES
+            )
+            object.__setattr__(self, "_alpha_cache", a)
+        return a
 
     def _complete_tick(self) -> None:
         instant = self._pending / float(self.tick_seconds)
@@ -175,8 +181,7 @@ class MeterState:
             self._rates = [instant, instant, instant]
             self._initialized = True
         else:
-            for i, m in enumerate(self._MINUTES):
-                a = self._alpha(m)
+            for i, a in enumerate(self._alphas()):
                 self._rates[i] += a * (instant - self._rates[i])
         self._pending = 0
 
@@ -184,9 +189,21 @@ class MeterState:
         if self._cur_tick < 0:
             self._cur_tick = tick
             return
-        while self._cur_tick < tick:
-            self._complete_tick()
-            self._cur_tick += 1
+        if tick <= self._cur_tick:
+            return
+        # complete the tick holding pending data, then fast-forward the
+        # remaining all-empty gap in closed form: an empty tick decays
+        # each EWMA by (1 - alpha), so k empty ticks multiply by
+        # (1 - alpha)^k — O(1) instead of O(gap) (the gap scan was the
+        # crunch hotspot: span/ewma_interval completions per key)
+        self._complete_tick()
+        self._cur_tick += 1
+        gap = tick - self._cur_tick
+        if gap > 0:
+            if self._initialized:
+                for i, a in enumerate(self._alphas()):
+                    self._rates[i] *= (1.0 - a) ** gap
+            self._cur_tick = tick
 
     def update(self, ts: float, value: int) -> None:
         self._advance_to_tick(int(ts // self.tick_seconds))
@@ -276,29 +293,33 @@ class HistogramState:
         self._zeroed = True
 
     def snapshot(self) -> dict[str, int | float]:
-        values = sorted(v for _, _, v in self._res)
-        n = len(values)
+        n = len(self._res)
         if n == 0:
             return {
                 "min": 0, "max": 0, "mean": 0.0, "std_dev": 0.0,
                 "p50": 0.0, "p75": 0.0, "p95": 0.0, "p99": 0.0,
                 "p999": 0.0, "sample_size": 0,
             }
-        mean = sum(values) / n
+        import numpy as np
+
+        values = np.sort(np.fromiter((v for _, _, v in self._res), dtype="int64", count=n))
+        mean = float(values.sum()) / n
         if n > 1:
-            var = sum((v - mean) ** 2 for v in values) / (n - 1)
+            d = values - values.sum() / n
+            var = float((d * d).sum()) / (n - 1)
         else:
             var = 0.0
+        vlist = values.tolist()
         return {
-            "min": values[0],
-            "max": values[-1],
+            "min": int(values[0]),
+            "max": int(values[-1]),
             "mean": mean,
             "std_dev": math.sqrt(var),
-            "p50": sample_percentile(values, 0.50),
-            "p75": sample_percentile(values, 0.75),
-            "p95": sample_percentile(values, 0.95),
-            "p99": sample_percentile(values, 0.99),
-            "p999": sample_percentile(values, 0.999),
+            "p50": sample_percentile(vlist, 0.50),
+            "p75": sample_percentile(vlist, 0.75),
+            "p95": sample_percentile(vlist, 0.95),
+            "p99": sample_percentile(vlist, 0.99),
+            "p999": sample_percentile(vlist, 0.999),
             "sample_size": n,
         }
 

@@ -68,3 +68,20 @@ def test_per_sink_counts(spark, pages, pages_pdf, rest_cfg):
     orc_sinks = collections.Counter(s for _, s in orc.elements())
     assert eng_sinks == orc_sinks
     assert len(eng_sinks) == rest_cfg.settings.push_number
+
+
+def test_skewed_hot_key_equality(spark, rest_cfg):
+    """90% of rest lines hit one hot call bucket (north_rule skew
+    requirement): the in-partition combiner must absorb the hot key
+    before the shuffle and results must stay partition-invariant and
+    oracle-equal."""
+    import numpy as np
+
+    from logmetrics_spark.sources.synth import SynthSpec, gen_pages_pdf
+
+    spec = SynthSpec(n_rows=400, time_span_seconds=400, hot_fraction=0.9, n_sites=5)
+    pdf = gen_pages_pdf(np.arange(spec.n_rows), spec)
+    pages_df = spark.createDataFrame(pdf)
+    expect = _oracle_rows(pdf, rest_cfg)
+    assert _engine_rows(spark, rest_cfg, pages_df.repartition(16), "fused") == expect
+    assert _engine_rows(spark, rest_cfg, pages_df.repartition(1), "fused") == expect

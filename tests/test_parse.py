@@ -128,3 +128,34 @@ def test_observe_counters(spark, rest_cfg, pages):
 
     n = df.count()
     assert n > 0
+
+
+def test_multi_regex_first_match_wins(spark):
+    """Multiple patterns tried in config order; first match wins
+    (logtail.go:124-140). Lines matching only the 2nd pattern still
+    extract; lines matching both use the 1st pattern's groups."""
+    from logmetrics_spark.config import load_config_str
+
+    cfg = load_config_str(
+        """
+[log_groups.multi]
+re = ['A=(\\d+)\\sB=(\\w+)', '(\\d+)\\sgoes\\s(\\w+)']
+expected_matches = 2
+key_prefix = "m"
+default_year = 2024
+[[log_groups.multi.metrics.meter]]
+key_suffix = "k"
+reference = [[1, ""]]
+"""
+    )
+    lg = cfg.log_groups[0]
+    text = "A=7 B=here\n12 goes there\nA=9 B=both 99 goes nowhere\nnothing"
+    df = _pages_df(
+        spark, [("https://x/p", pd.Timestamp("2024-02-01"), b"", text, "en")]
+    )
+    rows = {r["line_no"]: (r["g1"], r["g2"]) for r in parse_stage(df, lg).collect()}
+    assert rows == {
+        0: ("7", "here"),     # pattern 1
+        1: ("12", "there"),   # pattern 2 only
+        2: ("9", "both"),     # both match -> pattern 1 wins
+    }

@@ -97,3 +97,24 @@ def test_streaming_meters_stateful(spark, rest_cfg, stream_dirs):
     for k, r in latest.items():
         assert batch_counts.get(k) == r["count"], f"meter count mismatch for {k}"
     assert all(r["rate_1min"] >= 0 for r in rows)
+
+
+def test_streaming_routed_foreachbatch_resume(spark, apache_cfg, stream_dirs, tmp_path):
+    """foreachBatch end-to-end: routed rows appear per micro-batch;
+    restarting with the same checkpoint does NOT reprocess committed
+    files (offset resume)."""
+    from logmetrics_spark.streaming.stream_pipeline import run_streaming_routed
+
+    out = str(tmp_path / "sroute")
+    q = run_streaming_routed(spark, apache_cfg, stream_dirs["flat"], out)
+    q.awaitTermination(120)
+    routed1 = spark.read.parquet(out + "/routed")
+    n1 = routed1.count()
+    assert n1 > 0
+    assert {r["sink"] for r in routed1.select("sink").distinct().collect()} == {"sink_0", "sink_1"}
+    assert routed1.filter(routed1.line.startswith("put apache.")).count() > 0
+
+    # restart with same checkpoint: no new input -> no new rows
+    q2 = run_streaming_routed(spark, apache_cfg, stream_dirs["flat"], out)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out + "/routed").count() == n1
