@@ -866,3 +866,75 @@ def q_ann_cosine_topk(spark, sf_dir):
 def q_ann_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, S.make_queries(emb, 50), S.make_centroids(emb, 25), 5, 3)
+
+
+# =====================================================================
+# the engine's marquee aggregations over events (rows-only: EWMA scans
+# and exp-decay reservoirs are not ANSI-SQL-expressible — the driver
+# records row checks; the full semantics are pinned by the golden
+# engine-vs-oracle suite)
+# =====================================================================
+
+
+def _events_as_datapoints(spark, sf_dir, metric_type: str):
+    """Adapt events to the datapoint schema: key = event_type, value =
+    cents; record_id = md5_52(event_id) for reservoir determinism."""
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return e.select(
+        F.concat(F.lit(f"events.value|{metric_type}|type="), F.col("event_type")).alias("key_id"),
+        F.lit("events").alias("group"),
+        F.lit(metric_type).alias("metric_type"),
+        F.lit("events").alias("key_prefix"),
+        F.lit("value").alias("key_suffix"),
+        F.concat(F.lit("type="), F.col("event_type")).alias("tags"),
+        F.lit("").alias("ref_tag"),
+        F.lit(False).alias("never_stale"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).cast("long").alias("ts_sec"),
+        cents.alias("value"),
+        _md5_52(F.col("event_id").cast("string")).alias("record_id"),
+    )
+
+
+def _events_lg():
+    from .config import load_config_str
+
+    return load_config_str(
+        """
+[log_groups.events]
+re = ['(x)']
+expected_matches = 1
+key_prefix = "events"
+interval = 86400
+ewma_interval = 3600
+histogram_size = 256
+histogram_alpha_decay = 0.15
+[[log_groups.events.metrics.meter]]
+key_suffix = "value"
+reference = [[0, ""]]
+"""
+    ).log_groups[0]
+
+
+@q("meter_ewma", None)
+def q_meter_ewma(spark, sf_dir):
+    """Event-time Meter: cumulative count + 1/5/15-min EWMA rates per
+    key at daily push boundaries (go-timemetrics Meter semantics,
+    datapool.go:263)."""
+    from .operators.aggregate import aggregate_stage
+
+    dp = _events_as_datapoints(spark, sf_dir, "meter")
+    em = aggregate_stage(dp, _events_lg())
+    return em.select("key_id", "boundary", "ending", "ts", F.round("value_num", 6).alias("v"))
+
+
+@q("hist_reservoir", None)
+def q_hist_reservoir(spark, sf_dir):
+    """Event-time exp-decay reservoir Histogram: min/max/mean/std_dev/
+    p50..p999/sample_size per key at daily boundaries (forward-decay
+    sampling, datapool.go:256-258)."""
+    from .operators.aggregate import aggregate_stage
+
+    dp = _events_as_datapoints(spark, sf_dir, "histogram")
+    em = aggregate_stage(dp, _events_lg())
+    return em.select("key_id", "boundary", "ending", "ts", F.round("value_num", 6).alias("v"))
