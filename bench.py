@@ -197,16 +197,17 @@ def main() -> None:
     # this sandbox VM's timings swing 2x run-to-run (host-level cache /
     # frequency state): interleave trials and take the per-cores MIN —
     # the least-interfered measurement of each configuration
-    max_trials = int(os.environ.get("BENCH_TRIALS", "3"))
+    max_trials = int(os.environ.get("BENCH_TRIALS", "2"))
     lo_times, hi_times = [], []
     for t in range(max_trials):
         lo_times.append(_measure_in_subprocess(lo_cores, pages_path))
         hi_times.append(_measure_in_subprocess(hi_cores, pages_path))
         eff_now = (min(lo_times) / min(hi_times)) / (hi_cores / lo_cores)
         # steal bursts slow a single trial 2-6x, in either direction
-        # (a throttled LOW trial fakes super-linear scaling). Require
-        # two trials per side, then accept only a plausible pair.
-        if t >= 1 and 0.5 <= eff_now <= 1.05:
+        # (a throttled LOW trial fakes super-linear scaling, a
+        # throttled HIGH one fakes anti-scaling). Accept a pair only
+        # inside the plausibility band; retry (bounded) otherwise.
+        if 0.5 <= eff_now <= 1.05:
             break
     sec_lo = min(lo_times)
     sec_hi = min(hi_times)
