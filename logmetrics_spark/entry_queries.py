@@ -938,3 +938,24 @@ def q_hist_reservoir(spark, sf_dir):
     dp = _events_as_datapoints(spark, sf_dir, "histogram")
     em = aggregate_stage(dp, _events_lg())
     return em.select("key_id", "boundary", "ending", "ts", F.round("value_num", 6).alias("v"))
+
+
+@q(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           COUNT(*) FILTER (WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS n_big
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props_extract(spark, sf_dir):
+    """JSON scalar extraction over the events props column (§2.7
+    coverage: the reference has no JSON surface; a web-scale pipeline
+    needs one for structured log payloads)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_big"),
+    )
