@@ -92,17 +92,27 @@ def q_parse_extract(spark, sf_dir):
     SELECT source,
            COUNT(*) AS line_read,
            COUNT(*) FILTER (WHERE regexp_matches(text, '{_EXTRACT_PAT}')) AS line_matched,
-           SUM(length(text)) AS byte_read
-    FROM documents GROUP BY source
+           CAST(SUM(length(text)) AS BIGINT) AS byte_read
+    FROM documents GROUP BY source ORDER BY source
     """,
 )
 def q_parse_match_rate(spark, sf_dir):
-    """tail.line_read/line_matched/byte_read counters (logtail.go:52-64)."""
+    """tail.line_read/line_matched/byte_read counters (logtail.go:52-64).
+
+    NB (all aggregate entries): integer SUMs in the DuckDB oracle are
+    CAST AS BIGINT — DuckDB's SUM(int) yields HUGEINT, which the
+    driver's fetch converts to float64 and the value hash then
+    mismatches Spark's int64; outputs are also totally ordered on both
+    sides so the hash is row-order-insensitive."""
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("line_read"),
-        F.count(F.when(F.col("text").rlike(_EXTRACT_PAT), 1)).alias("line_matched"),
-        F.sum(F.length("text")).alias("byte_read"),
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("line_read"),
+            F.count(F.when(F.col("text").rlike(_EXTRACT_PAT), 1)).alias("line_matched"),
+            F.sum(F.length("text")).alias("byte_read"),
+        )
+        .orderBy("source")
     )
 
 
@@ -222,8 +232,8 @@ def q_datapoint_fanout(spark, sf_dir):
     SELECT event_type,
            CAST(FLOOR(epoch(ts) / 60) AS BIGINT) * 60 AS w_start,
            COUNT(*) AS n,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents
-    FROM events GROUP BY event_type, w_start
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type, w_start ORDER BY event_type, w_start
     """,
 )
 def q_meter_window_sum(spark, sf_dir):
@@ -231,9 +241,13 @@ def q_meter_window_sum(spark, sf_dir):
     datapool.go:280-307 interval trigger analog)."""
     e = _t(spark, sf_dir, "events")
     w = (F.floor(F.unix_timestamp("ts") / 60) * 60).cast("long")
-    return e.groupBy("event_type", w.alias("w_start")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    return (
+        e.groupBy("event_type", w.alias("w_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .orderBy("event_type", "w_start")
     )
 
 
@@ -241,14 +255,14 @@ def q_meter_window_sum(spark, sf_dir):
     "counter_running",
     """
     SELECT event_type, w_start,
-           SUM(wsum) OVER (PARTITION BY event_type ORDER BY w_start
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+           CAST(SUM(wsum) OVER (PARTITION BY event_type ORDER BY w_start
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
     FROM (
       SELECT event_type,
              CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) * 3600 AS w_start,
-             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS wsum
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS wsum
       FROM events GROUP BY event_type, w_start
-    ) s
+    ) s ORDER BY event_type, w_start
     """,
 )
 def q_counter_running(spark, sf_dir):
@@ -265,7 +279,7 @@ def q_counter_running(spark, sf_dir):
     )
     return per.select(
         "event_type", "w_start", F.sum("wsum").over(cum).alias("running_cents")
-    )
+    ).orderBy("event_type", "w_start")
 
 
 @q(
@@ -385,7 +399,9 @@ def q_stale_keys(spark, sf_dir):
     """stale-key detection: no update within TTL of the global high
     water (datapool.go:315-334)."""
     e = _t(spark, sf_dir, "events")
-    gmax = e.agg(F.max(_epoch(F.col("ts")))).collect()[0][0]
+    # global high-water as a broadcast 1-row aggregate (lazy — no
+    # driver collect mid-plan; Spark broadcasts the single-row side)
+    gmax = e.agg(F.max(_epoch(F.col("ts"))).alias("_gmax"))
     return (
         e.groupBy(F.col("user_id").alias("key_id"), F.col("event_type"))
         .agg(
@@ -394,8 +410,9 @@ def q_stale_keys(spark, sf_dir):
             .alias("last_update"),
             F.max(_epoch(F.col("ts"))).alias("_m"),
         )
-        .filter(F.col("_m") < gmax - 2 * 86400)
-        .drop("_m")
+        .join(F.broadcast(gmax))
+        .filter(F.col("_m") < F.col("_gmax") - 2 * 86400)
+        .drop("_m", "_gmax")
     )
 
 
@@ -500,9 +517,9 @@ _DIM_SQL = """
     "enrich_broadcast_join",
     f"""
     SELECT d.category, COUNT(*) AS n,
-           SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS sum_cents
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
     FROM events e LEFT JOIN {_DIM_SQL} d USING (event_type)
-    GROUP BY d.category
+    GROUP BY d.category ORDER BY d.category NULLS FIRST
     """,
 )
 def q_enrich_broadcast_join(spark, sf_dir):
@@ -523,6 +540,7 @@ def q_enrich_broadcast_join(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
         )
+        .orderBy(F.col("category").asc_nulls_first())
     )
 
 
@@ -530,12 +548,12 @@ def q_enrich_broadcast_join(spark, sf_dir):
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
+    GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
     """,
 )
 def q_pricing_summary(spark, sf_dir):
@@ -549,6 +567,7 @@ def q_pricing_summary(spark, sf_dir):
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -576,11 +595,11 @@ def q_topk_orders(spark, sf_dir):
     "star_join_counts",
     """
     SELECT n.n_name, COUNT(*) AS n_customers,
-           SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS bal_cents
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
-    GROUP BY n.n_name
+    GROUP BY n.n_name ORDER BY n.n_name
     """,
 )
 def q_star_join_counts(spark, sf_dir):
@@ -596,6 +615,7 @@ def q_star_join_counts(spark, sf_dir):
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("bal_cents"),
         )
+        .orderBy("n_name")
     )
 
 
@@ -623,15 +643,19 @@ def _marker_sql(marker: str) -> str:
 @q(
     "text_token_count",
     f"""
-    SELECT lang, SUM({_TOKC_SQL}) AS total_tokens, COUNT(*) AS n_docs
-    FROM documents GROUP BY lang
+    SELECT lang, CAST(SUM({_TOKC_SQL}) AS BIGINT) AS total_tokens, COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
     """,
 )
 def q_text_token_count(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.groupBy("lang").agg(
-        F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
-        F.count(F.lit(1)).alias("n_docs"),
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(T.token_count(F.col("text"))).alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
     )
 
 
@@ -944,9 +968,9 @@ def q_hist_reservoir(spark, sf_dir):
     "json_props_extract",
     """
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            COUNT(*) FILTER (WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50) AS n_big
-    FROM events GROUP BY event_type
+    FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
 def q_json_props_extract(spark, sf_dir):
@@ -955,7 +979,11 @@ def q_json_props_extract(spark, sf_dir):
     needs one for structured log payloads)."""
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
-    return e.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"),
-        F.count(F.when(k > 50, 1)).alias("n_big"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k > 50, 1)).alias("n_big"),
+        )
+        .orderBy("event_type")
     )
