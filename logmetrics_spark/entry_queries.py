@@ -859,7 +859,52 @@ def q_dedup_simhash(spark, sf_dir):
     """,
 )
 def q_embed_neardup(spark, sf_dir):
+    """Exact all-pairs baseline (quadratic BY DESIGN — the recall
+    oracle for embed_neardup_lsh, same status as dedup_ngram_jaccard;
+    validation scale only)."""
     return D.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), 0.30)
+
+
+def _emb_lsh_sql(threshold: float = 0.30, dim: int = 64) -> str:
+    """DuckDB mirror of embedding_neardup_lsh: identical md5-derived
+    hyperplane constants -> identical buckets -> identical output."""
+    planes = D.hyperplanes(dim, D.EMB_LSH_PLANES)
+    width = D.EMB_LSH_PLANES // D.EMB_LSH_BANDS
+    sig_terms = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(repr(v) for v in plane)
+        sig_terms.append(
+            f"(CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{lits}]::DOUBLE[]), 6) > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band, "
+        f"(sig // {1 << (b * width)}) % {1 << width} AS bval FROM sig"
+        for b in range(D.EMB_LSH_BANDS)
+    )
+    cos = (
+        "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+    )
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+    bands AS ({bands})
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos6
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """
+
+
+@q("embed_neardup_lsh", _emb_lsh_sql())
+def q_embed_neardup_lsh(spark, sf_dir):
+    """Scale path: deterministic hyperplane-LSH banding + exact cosine
+    within buckets (hash equi-join; recall < 1 vs embed_neardup by
+    construction, precision 1.0 — the DuckDB oracle replays the SAME
+    bucketing, so the comparison is exact)."""
+    return D.embedding_neardup_lsh(_t(spark, sf_dir, "embeddings"), 0.30, dim=64)
 
 
 @q(

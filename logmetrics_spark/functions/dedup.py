@@ -10,9 +10,15 @@ Scale notes (the 100 TB story):
 - n-gram Jaccard all-pairs is quadratic — it exists as the *oracle*
   for MinHash/LSH, which is the scale path: shingle -> k minhashes ->
   band buckets -> join only within buckets (candidate set ~linear for
-  realistic dup rates);
-- simhash reduces each doc to a W-bit signature; near-dup = small
-  Hamming distance; bucketing by signature prefix bounds the join;
+  realistic dup rates), then exact-Jaccard verification restricted to
+  the candidate pairs (never the all-pairs self-join);
+- simhash reduces each doc to a W-bit signature; near-dup = Hamming
+  distance <= d; the pair join is a Hamming-pigeonhole band equi-join
+  over d+1 disjoint bit bands — EXACT (recall 1.0) and never
+  cartesian;
+- embedding near-dup: exact all-pairs kept as the recall oracle;
+  the scale path is deterministic random-hyperplane LSH banding
+  (md5-derived plane constants) + exact cosine within buckets;
 - all hashes derive from md5 (portable to the DuckDB oracle and the
   Python oracle; no engine-specific hash()).
 """
@@ -55,11 +61,22 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = NGRAM_N) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Docs with fewer than ``n`` tokens yield NO shingles (guarded:
+    Spark's ``sequence(0, stop)`` is *descending*, not empty, when
+    stop < 0, and the descending indices would then blow up
+    ``element_at`` under ANSI mode — mirror of the DuckDB oracle's
+    ``generate_series(1, greatest(len-n+1, 0))``)."""
     toks = F.split(F.trim(normalized(F.col(text_col))), r"\s+")
-    # n-gram i = tokens[i..i+n-1] joined; sequence over 0..size-n
+    # n-gram i = tokens[i..i+n-1] joined; sequence over 0..size-n,
+    # emptied via filter when size < n (keeps branch types aligned)
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: i <= F.size(toks) - n,
+    )
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        idx,
         lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
     )
     return (
@@ -116,12 +133,18 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """MinHash+LSH candidate generation + exact-Jaccard verification.
+    """MinHash+LSH candidate generation + exact-Jaccard verification
+    restricted to the candidate pairs.
 
     Bands of LSH_ROWS rows each; candidates = pairs sharing >=1 band
-    bucket; verified against true n-gram Jaccard (so the result is a
-    *subset* of ngram_jaccard_pairs — recall < 1 by construction, the
-    scale/accuracy trade of LSH). Returns (id_a, id_b, jaccard6)."""
+    bucket (distinct). Verification never touches non-candidate pairs:
+    each candidate pair's shingle intersection is computed by routing
+    the pair through the (id, shingle) table twice — an equi-join per
+    side, O(|candidates| x shingles-per-doc), NOT the all-pairs
+    shingle self-join. The result is a *subset* of
+    ngram_jaccard_pairs — recall < 1 by construction, the
+    scale/accuracy trade of LSH. Returns (id_a, id_b, jaccard6)."""
+    sh = shingles(docs, id_col, text_col, NGRAM_N)
     sig = minhash_signatures(docs, MINHASH_K, id_col, text_col)
     bands = []
     for b in range(LSH_BANDS):
@@ -148,9 +171,22 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, 0.0, id_col, text_col)
+    # exact verification ONLY on candidates: pair -> a-side shingles
+    # -> semi-match on the b-side -> per-pair intersection counts
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     return (
-        cand.join(exact, ["id_a", "id_b"])
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard6",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
         .filter(F.col("jaccard6") >= threshold)
         .select("id_a", "id_b", "jaccard6")
     )
@@ -185,16 +221,43 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming."""
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming,
+    via Hamming-pigeonhole band equi-join (EXACT, recall 1.0: two
+    signatures within Hamming d must agree bit-for-bit on at least one
+    of d+1 disjoint bit bands), so the result is identical to the
+    all-pairs plan while the join is a hash equi-join on
+    (band, band_bits) — no cartesian product in the physical plan."""
     s = simhash(docs, id_col, text_col)
-    a = s.alias("a")
-    b = s.alias("b")
+    n_bands = max_hamming + 1
+    width = -(-SIMHASH_BITS // n_bands)  # ceil
+    bands = [
+        s.select(
+            "id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bval"),
+        )
+        for b in range(n_bands)
+    ]
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a = allb.alias("a")
+    b2 = allb.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .distinct()
     )
 
 
@@ -215,7 +278,10 @@ def cosine6(va: Column, vb: Column) -> Column:
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs (vec_id a < b, cosine6 >= t)."""
+    """EXACT embedding-cosine near-dup pairs (vec_id a < b,
+    cosine6 >= t). Quadratic all-pairs BY DESIGN — this is the recall
+    oracle for :func:`embedding_neardup_lsh`, the scale path; use only
+    at validation scale (same status as ngram_jaccard_pairs)."""
     a = emb.alias("a")
     b = emb.alias("b")
     cos = cosine6(F.col("a.embedding"), F.col("b.embedding"))
@@ -224,4 +290,99 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFram
         .withColumn("cos6", cos)
         .filter(F.col("cos6") >= threshold)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cos6")
+    )
+
+
+# --- hyperplane-LSH scale path -------------------------------------
+
+EMB_LSH_PLANES = 16
+EMB_LSH_BANDS = 4  # width = PLANES / BANDS = 4 bits per band
+
+
+def hyperplanes(dim: int, n_planes: int = EMB_LSH_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from the engine's md5
+    convention: component (p, j) = ((md5_52("p:j") % 2001) - 1000) /
+    1000 in [-1, 1]. Pure constants — both the Spark plan and the
+    DuckDB oracle embed the same literals, so the bucketing is
+    bit-identical across engines."""
+    import hashlib
+
+    out = []
+    for p in range(n_planes):
+        row = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:13], 16)
+            row.append(((h % 2001) - 1000) / 1000.0)
+        out.append(row)
+    return out
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """n_planes-bit sign signature: bit p = (round(vec . plane_p, 6) > 0)."""
+    sig = None
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(F.round(dot, 6) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << p).cast("long")
+        sig = term if sig is None else sig + term
+    return sig
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    dim: int = 64,
+    n_planes: int = EMB_LSH_PLANES,
+    n_bands: int = EMB_LSH_BANDS,
+) -> DataFrame:
+    """Scale-path embedding near-dup: random-hyperplane signature ->
+    band buckets -> exact cosine only within buckets.
+
+    Candidates = pairs agreeing bit-for-bit on >= 1 of ``n_bands``
+    signature bands (hash equi-join, no cartesian); each candidate is
+    then verified with the exact cosine6 >= threshold. Recall < 1 by
+    construction (probabilistic banding — widen bands/add planes to
+    trade candidate volume for recall at scale); precision 1.0. The
+    deterministic planes make the whole computation reproducible in
+    ANSI SQL. Returns (id_a, id_b, cos6)."""
+    planes = hyperplanes(dim, n_planes)
+    width = n_planes // n_bands
+    s = emb.select(
+        "vec_id", "embedding", hyperplane_signature(F.col("embedding"), planes).alias("sig")
+    )
+    bands = [
+        s.select(
+            "vec_id",
+            "embedding",
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("sig"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bval"),
+        )
+        for b in range(n_bands)
+    ]
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a = allb.alias("a")
+    b2 = allb.alias("b")
+    cos = cosine6(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cos6", cos)
+        .filter(F.col("cos6") >= threshold)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cos6")
+        .distinct()
     )

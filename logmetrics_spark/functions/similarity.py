@@ -55,6 +55,57 @@ def make_centroids(emb: DataFrame, every: int = 25) -> DataFrame:
     )
 
 
+def assign_cells(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-``nprobe`` centroid cells per vector in ONE narrow
+    ``mapInPandas`` pass against the broadcast centroid matrix — no
+    |emb| x |centroids| intermediate, no window sort-shuffle (the
+    v1 crossJoin+row_number shape materialized and shuffled the full
+    product). Ties broken by ascending c_id; cosine rounded to 6dp to
+    match :func:`logmetrics_spark.functions.dedup.cosine6` exactly.
+
+    Centroids are tiny by contract (a coarse quantizer); collecting
+    them to the driver IS the broadcast. Output: (id, vec, cell) —
+    one row per (vector, probed cell)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.orderBy("c_id").collect()
+    c_ids = np.array([r["c_id"] for r in rows], dtype=np.int64)
+    cmat = np.array([list(r["c_embedding"]) for r in rows], dtype=np.float64)
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    p = min(nprobe, len(c_ids))
+
+    def mapper(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            e = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(e, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cos = np.round((e / norms) @ cn.T, 6)
+            # top-p by (cos desc, c_id asc): c_ids are sorted asc, and
+            # stable argsort on -cos keeps the lower c_id first on ties
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :p]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                    vec_col: [v for v in pdf[vec_col] for _ in range(p)],
+                    "cell": c_ids[order].reshape(-1),
+                }
+            )
+
+    return emb.mapInPandas(
+        mapper, schema=f"{id_col} long, {vec_col} array<float>, cell long"
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -62,31 +113,16 @@ def ivf_topk(
     k: int = 5,
     nprobe: int = 3,
 ) -> DataFrame:
-    """IVF ANN: assign vectors to nearest centroid, probe nprobe cells.
+    """IVF ANN: assign vectors to their nearest centroid cell, probe
+    the ``nprobe`` nearest cells per query, score only within probed
+    cells. Both assignments are single narrow passes over a broadcast
+    centroid matrix (:func:`assign_cells`); the only shuffles are the
+    cell equi-join and the final per-query top-k.
 
-    Returns (q_id, rank, vec_id, cos6) — approximate: only vectors in
-    the probed cells are scored."""
-    # cell assignment (broadcast the centroid set; one pass over emb)
-    ec = emb.crossJoin(F.broadcast(centroids)).withColumn(
-        "c_cos", cosine6(F.col("embedding"), F.col("c_embedding"))
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id").asc())
-    assigned = (
-        ec.withColumn("r", F.row_number().over(w_assign))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "embedding", F.col("c_id").alias("cell"))
-    )
-    # query -> nprobe nearest cells
-    qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "c_cos", cosine6(F.col("q_embedding"), F.col("c_embedding"))
-    )
-    w_probe = Window.partitionBy("q_id").orderBy(F.col("c_cos").desc(), F.col("c_id").asc())
-    probes = (
-        qc.withColumn("r", F.row_number().over(w_probe))
-        .filter(F.col("r") <= nprobe)
-        .select("q_id", "q_embedding", F.col("c_id").alias("cell"))
-    )
-    # score only within probed cells
+    Returns (q_id, rank, vec_id, cos6) — approximate: recall vs the
+    exact baseline is pinned by tests/test_functions.py."""
+    assigned = assign_cells(emb, centroids, 1, "vec_id", "embedding")
+    probes = assign_cells(queries, centroids, nprobe, "q_id", "q_embedding")
     scored = assigned.join(probes, "cell").filter(F.col("vec_id") != F.col("q_id"))
     scored = scored.withColumn("cos6", cosine6(F.col("embedding"), F.col("q_embedding")))
     w = Window.partitionBy("q_id").orderBy(F.col("cos6").desc(), F.col("vec_id").asc())

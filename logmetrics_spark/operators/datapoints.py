@@ -21,17 +21,24 @@ Output schema (one row per dataPoint, ``datapool.go:14-19``):
 Value semantics (``datapool.go:138-207``):
 
 - position 0 => constant 1 (count-a-line, ``README.md:103``);
-- ``format="int"``: int64 parse, then ``*multiply`` then integer
-  ``/divide`` (each only when >1, matching the reference's guards);
+- ``format="int"``: int64 parse (engine-wide contract: strip, then
+  strict ``[+-]?\\d+`` fullmatch — identical across the staged exprs,
+  the fused kernel, and the Python oracle), then ``*multiply`` then
+  integer ``/divide`` (each only when >1, matching the reference's
+  guards);
 - ``format="float"``: float parse then scale then truncate to int64;
-  the reference's multiply==divide==1 => stays-0 quirk
-  (``datapool.go:150-155``) is behind ``compat.float_noscale_zero``;
+  multiply and divide are each computed from the RAW parsed float, so
+  divide *overrides* multiply when both >1 (``datapool.go:149-156`` —
+  the reference never composes them); the multiply==divide==1 =>
+  stays-0 quirk (``datapool.go:150-155``) is behind
+  ``compat.float_noscale_zero``;
 - any referenced group failing to parse drops the WHOLE line
   (``datapool.go:168-171``);
 - ``add``/``sub`` operands are int64 parses of the referenced
   positions, position-0 operands skipped (``datapool.go:179-201``);
-  a negative result drops the line when ``warn_on_operation_fail``
-  (``datapool.go:203-207``);
+  a negative result drops the line when ``warn_on_operation_fail`` —
+  the reference applies this check to EVERY datapoint, with or
+  without add/sub ops (``datapool.go:203-207``);
 - ``compat.cumulative_ops`` replays the reference's shared-value
   mutation across references at the same position (block order;
   ``datapool.go:181-211``); default computes each reference
@@ -79,6 +86,18 @@ def tags_expr(lg: LogGroup, extra_tag_cols: dict[str, Column] | None = None) -> 
     return F.concat_ws(" ", *parts)
 
 
+_INT_RE = r"^[+-]?\d+$"
+
+
+def strict_long(g: Column) -> Column:
+    """Engine-wide int parse contract: strip, strict [+-]?digits
+    fullmatch, else NULL (shared with fused._strict_int and
+    oracle._int_or_none — no whitespace-tolerant try_cast, no
+    underscore separators)."""
+    t = F.trim(g)
+    return F.when(t.rlike(_INT_RE), t.try_cast("long"))
+
+
 def _base_value(lg: LogGroup, m: MetricDef, ref: MetricRef) -> Column:
     """Scaled int64 value for one reference (``datapool.go:138-177``)."""
     if ref.position == 0:
@@ -90,12 +109,15 @@ def _base_value(lg: LogGroup, m: MetricDef, ref: MetricRef) -> Column:
             if lg.compat.float_noscale_zero:
                 return F.when(v.isNotNull(), F.lit(0)).cast("long")
             return v.cast("long")  # truncate toward zero
+        # multiply and divide each scale the RAW float; divide
+        # overrides multiply when both >1 (datapool.go:149-156)
+        scaled = v
         if m.multiply > 1:
-            v = v * F.lit(float(m.multiply))
+            scaled = v * F.lit(float(m.multiply))
         if m.divide > 1:
-            v = v / F.lit(float(m.divide))
-        return v.cast("long")
-    v = g.try_cast("long")
+            scaled = v / F.lit(float(m.divide))
+        return F.when(v.isNotNull(), scaled.cast("long"))
+    v = strict_long(g)
     if m.multiply > 1:
         v = v * F.lit(m.multiply)
     if m.divide > 1:
@@ -106,10 +128,10 @@ def _base_value(lg: LogGroup, m: MetricDef, ref: MetricRef) -> Column:
 def _apply_ops(base: Column, ref: MetricRef) -> Column:
     for pos in ref.add:
         if pos != 0:  # position-0 operands skipped (datapool.go:191)
-            base = base + F.col(f"g{pos}").try_cast("long")
+            base = base + strict_long(F.col(f"g{pos}"))
     for pos in ref.sub:
         if pos != 0:
-            base = base - F.col(f"g{pos}").try_cast("long")
+            base = base - strict_long(F.col(f"g{pos}"))
     return base
 
 
@@ -142,7 +164,9 @@ def datapoint_stage(
                 )
             )
             drop_if_null.append(val)
-            if lg.warn_on_operation_fail and (ref.add or ref.sub):
+            if lg.warn_on_operation_fail:
+                # reference checks val < 0 for every datapoint, ops or
+                # not (datapool.go:203-207)
                 negative_guards.append(val)
 
     cond = F.lit(True)

@@ -41,9 +41,13 @@ _INT_RE = r"[+-]?\d+"
 
 
 def _strict_int(s: pd.Series) -> pd.Series:
-    """Go-ParseInt-strict int64 parse -> float64 with NaN on failure."""
-    ok = s.str.fullmatch(_INT_RE).fillna(False)
-    out = pd.to_numeric(s.where(ok), errors="coerce")
+    """Engine-wide int parse contract (shared by all three paths —
+    fused, staged try_cast+rlike, oracle): strip surrounding
+    whitespace, then strict [+-]?digits fullmatch (no underscore
+    separators, no interior spaces). -> float64 with NaN on failure."""
+    t = s.str.strip()
+    ok = t.str.fullmatch(_INT_RE).fillna(False)
+    out = pd.to_numeric(t.where(ok), errors="coerce")
     return out.astype("float64")
 
 
@@ -70,19 +74,17 @@ def _apply_transform_series(tdef: TransformDef, s: pd.Series, apply_all: bool) -
     ops = [(op.kind, clean_verbose_regex(op.pattern), op.arg) for op in tdef.operations]
     only_one = tdef.replace_only_one and not apply_all
     if only_one:
-        original = s
+        # config-order fold with a per-row latch over the RUNNING
+        # value (mirrors transform_expr / oracle._apply_transform)
         done = pd.Series(False, index=s.index)
         for kind, pat, arg in ops:
-            if kind != "replace":
-                continue
-            hit = original.str.contains(pat, regex=True) & ~done
-            if hit.any():
-                s = s.mask(hit, _expand_template(arg, original, pat))
-                done = done | hit
-        for kind, pat, arg in ops:
-            if kind != "match_or_default":
-                continue
-            s = s.where(s.str.contains(pat, regex=True), arg)
+            if kind == "replace":
+                hit = s.str.contains(pat, regex=True) & ~done
+                if hit.any():
+                    s = s.mask(hit, _expand_template(arg, s, pat))
+                    done = done | hit
+            else:
+                s = s.where(s.str.contains(pat, regex=True), arg)
         return s
     for kind, pat, arg in ops:
         if kind == "replace":
@@ -173,11 +175,16 @@ def make_fused_kernel(lg: LogGroup, lookup: dict | None = None):
                                 else np.trunc(f)
                             )
                         else:
+                            # reference computes multiply and divide
+                            # each from the RAW float, so divide
+                            # overrides multiply when both are set
+                            # (datapool.go:149-156)
+                            scaled = f
                             if mdef.multiply > 1:
-                                f = f * float(mdef.multiply)
+                                scaled = f * float(mdef.multiply)
                             if mdef.divide > 1:
-                                f = f / float(mdef.divide)
-                            base = np.trunc(f)
+                                scaled = f / float(mdef.divide)
+                            base = np.trunc(scaled)
                     else:
                         v = int_at(ref.position)
                         valid &= v.notna()
@@ -199,7 +206,10 @@ def make_fused_kernel(lg: LogGroup, lookup: dict | None = None):
                             val = val - o
                     if lg.compat.cumulative_ops:
                         running[ref.position] = val
-                    if lg.warn_on_operation_fail and (ref.add or ref.sub):
+                    if lg.warn_on_operation_fail:
+                        # the reference checks val < 0 after the op
+                        # loop even when no ops exist
+                        # (datapool.go:203-207)
                         valid &= val.fillna(-1) >= 0
                     ref_values.append((mdef, ref, val))
 

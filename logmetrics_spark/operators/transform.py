@@ -15,12 +15,15 @@ Catalyst/codegen:
   matches, else assign the literal default (``transform.go:62-69``).
   Spark: ``when(rlike, col).otherwise(lit(default))``.
 
-``replace_only_one`` semantics (fixed; see CompatFlags): the first
-*successful* replace ends the replace chain, but ``match_or_default``
-ops still apply afterwards (preserving the whitelist-guard idiom of
-the reference example config). The reference's actual code resets its
-latch each op so the flag is a no-op there (``transform.go:48-60``);
-``compat.transform_apply_all`` replays that.
+``replace_only_one`` semantics (fixed; see CompatFlags): ops are
+evaluated strictly in config order against the RUNNING value, with a
+per-row "replaced" latch — the first *successful* replace ends the
+replace chain, while ``match_or_default`` ops apply wherever they sit
+in the chain (so a guard placed before a replace feeds its modified
+value into that replace, exactly like the sequential oracle). The
+reference's actual code resets its latch each op so the flag is a
+no-op there (``transform.go:48-60``); ``compat.transform_apply_all``
+replays that.
 """
 
 from __future__ import annotations
@@ -59,23 +62,21 @@ def transform_expr(value: Column, tdef: TransformDef, apply_all_compat: bool = F
     only_one = tdef.replace_only_one and not apply_all_compat
 
     if only_one:
-        # First matching replace wins (evaluated against the original
-        # value — earlier non-matching replaces leave it unchanged),
-        # then match_or_default guards run on the result.
-        expr: Column | None = None
-        replace_chain = [op for op in ops if op.kind == "replace"]
-        guards = [op for op in ops if op.kind == "match_or_default"]
+        # Config-order fold with a per-row 'replaced' latch: each
+        # replace evaluates against the RUNNING value and only fires
+        # while the latch is unset; guards apply in place (matching
+        # oracle._apply_transform exactly). Catalyst CSE collapses the
+        # repeated rlike/when subtrees.
         current = value
-        for op in replace_chain:
-            branch = _template_expr(value, op.pattern, op.arg)
-            expr = (
-                F.when(value.rlike(op.pattern), branch)
-                if expr is None
-                else expr.when(value.rlike(op.pattern), branch)
-            )
-        current = expr.otherwise(value) if expr is not None else value
-        for op in guards:
-            current = F.when(current.rlike(op.pattern), current).otherwise(F.lit(op.arg))
+        done: Column = F.lit(False)
+        for op in ops:
+            if op.kind == "replace":
+                hit = ~done & current.rlike(op.pattern)
+                new_current = F.when(hit, _template_expr(current, op.pattern, op.arg)).otherwise(current)
+                done = done | hit
+                current = new_current
+            else:  # match_or_default
+                current = F.when(current.rlike(op.pattern), current).otherwise(F.lit(op.arg))
         return current
 
     # sequential application, each op on the previous op's output

@@ -183,7 +183,9 @@ def parse_pages(pages: list[dict], lg: LogGroup, lookup: dict | None = None) -> 
                         break
                     if lg.compat.cumulative_ops:
                         running[ref.position] = val
-                    if lg.warn_on_operation_fail and (ref.add or ref.sub) and val < 0:
+                    if lg.warn_on_operation_fail and val < 0:
+                        # reference checks every datapoint, ops or not
+                        # (datapool.go:203-207)
                         ok = False
                         break
                     line_points.append(
@@ -209,10 +211,13 @@ def parse_pages(pages: list[dict], lg: LogGroup, lookup: dict | None = None) -> 
 
 
 def _int_or_none(s: str) -> int | None:
-    try:
-        return int(s)
-    except ValueError:
+    # engine-wide int parse contract: strip, then strict [+-]?digits
+    # (mirrors operators.datapoints.strict_long / fused._strict_int;
+    # notably REJECTS Python-int()-isms like '1_0')
+    t = s.strip()
+    if not re.fullmatch(r"[+-]?\d+", t):
         return None
+    return int(t)
 
 
 def _base_value(lg: LogGroup, mdef, ref, groups: list[str]) -> int | None:
@@ -228,11 +233,14 @@ def _base_value(lg: LogGroup, mdef, ref, groups: list[str]) -> int | None:
             if lg.compat.float_noscale_zero:
                 return 0
             return int(f)
+        # divide overrides multiply — each scales the RAW float
+        # (datapool.go:149-156)
+        scaled = f
         if mdef.multiply > 1:
-            f = f * float(mdef.multiply)
+            scaled = f * float(mdef.multiply)
         if mdef.divide > 1:
-            f = f / float(mdef.divide)
-        return int(f)
+            scaled = f / float(mdef.divide)
+        return int(scaled)
     v = _int_or_none(raw)
     if v is None:
         return None

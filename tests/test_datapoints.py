@@ -110,3 +110,59 @@ def test_key_id_and_record_id_deterministic(spark):
     ts = int(pd.Timestamp("2024-02-01 00:00:05").timestamp())
     expect = int(hashlib.md5(f"https://x/p|{ts}|0".encode()).hexdigest()[:13], 16)
     assert dp1[0]["record_id"] == expect
+
+
+def test_int_parse_contract_unified(spark):
+    """One int contract across staged/fused/oracle: strip, then strict
+    [+-]?digits — ' 7 ' parses, '1_0' and '1 0' do not (ADVICE fix:
+    try_cast/fused-fullmatch/int() used to disagree)."""
+    import pandas as pd
+
+    from logmetrics_spark.operators.datapoints import strict_long
+    from logmetrics_spark.operators.fused import _strict_int
+    from logmetrics_spark.oracle import _int_or_none
+    from pyspark.sql import functions as F
+
+    vals = [" 7 ", "1_0", "+42", "-3", "1 0", "abc", "9"]
+    expect = [7, None, 42, -3, None, None, 9]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    staged = [r[0] for r in df.select(strict_long(F.col("v"))).collect()]
+    assert staged == expect
+    fused = _strict_int(pd.Series(vals))
+    assert [None if pd.isna(x) else int(x) for x in fused] == expect
+    assert [_int_or_none(v) for v in vals] == expect
+
+
+def test_float_divide_overrides_multiply(spark):
+    """ADVICE fix: the reference scales multiply and divide each from
+    the RAW float (datapool.go:149-156) — divide overrides multiply
+    when both >1. Engine (staged), fused path and oracle all replay it."""
+    both = CFG.replace(
+        'format = "float"\ndivide = 2', 'format = "float"\nmultiply = 10\ndivide = 2'
+    )
+    lg = load_config_str(both).log_groups[0]
+    dp = build_datapoints(_mk_pages(spark, "v=7 f=9.8 host=h1 a=100 b=30"), lg)
+    rows = {(r["key_suffix"], r["ref_tag"]): r["value"] for r in dp.collect()}
+    assert rows[("f.scaled", "")] == 4  # int(9.8 / 2), NOT int(9.8*10/2)
+
+    from logmetrics_spark.oracle import _base_value as oracle_base
+
+    mdef = next(m for m in lg.metrics if m.key_suffix == "f.scaled")
+    assert oracle_base(lg, mdef, mdef.references[0], ["", "", "9.8", "", "", ""]) == 4
+
+
+def test_negative_guard_applies_without_ops(spark):
+    """ADVICE fix: warn_on_operation_fail drops plain negative parsed
+    values too (datapool.go:203-207 runs after the op loop even with
+    no ops)."""
+    flagged = CFG.replace(
+        'default_year = 2024', 'default_year = 2024\nwarn_on_operation_fail = true'
+    ).replace("v=(\\d+)", "v=(-?\\d+)")
+    lg = load_config_str(flagged).log_groups[0]
+    assert "-?" in lg.regexes[0]  # the regex swap actually happened
+    # v=-7 parses fine; no add/sub on the v.sum reference — still dropped
+    dp = build_datapoints(_mk_pages(spark, "v=-7 f=9.8 host=h1 a=100 b=30"), lg)
+    assert dp.count() == 0
+    # sanity: without the flag the same line is kept
+    lg0 = load_config_str(CFG.replace("v=(\\d+)", "v=(-?\\d+)")).log_groups[0]
+    assert build_datapoints(_mk_pages(spark, "v=-7 f=9.8 host=h1 a=100 b=30"), lg0).count() == 5

@@ -1,0 +1,143 @@
+"""Physical-plan regression tests: the scale contracts that sf0.001
+row counts can't see. Each dedup/similarity scale path must compile to
+hash equi-joins — a CartesianProduct or BroadcastNestedLoopJoin node
+means the operator silently degraded to all-pairs and would not finish
+at corpus scale. Also pins scan hygiene for the core pipeline (pushed
+url filter, pruned columns)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from logmetrics_spark.functions import dedup as D
+from logmetrics_spark.functions import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_simhash_pairs_no_cartesian(spark, docs):
+    plan = _physical(D.simhash_pairs(docs, 3))
+    for node in FORBIDDEN:
+        assert node not in plan, f"{node} in simhash_pairs plan"
+
+
+def test_minhash_lsh_no_cartesian(spark, docs):
+    plan = _physical(D.minhash_lsh_pairs(docs, 0.4))
+    for node in FORBIDDEN:
+        assert node not in plan, f"{node} in minhash_lsh_pairs plan"
+
+
+def test_embedding_lsh_no_cartesian(spark, emb):
+    plan = _physical(D.embedding_neardup_lsh(emb, 0.3))
+    for node in FORBIDDEN:
+        assert node not in plan, f"{node} in embedding_neardup_lsh plan"
+
+
+def test_ivf_assignment_is_narrow(spark, emb):
+    """Cell assignment must be a single mapInPandas over the scan —
+    no per-vector window sort, no |emb| x |centroids| join."""
+    assigned = S.assign_cells(emb, S.make_centroids(emb, 25), 1)
+    plan = _physical(assigned)
+    for node in FORBIDDEN + ("Window", "SortMergeJoin", "Exchange"):
+        assert node not in plan, f"{node} in assign_cells plan"
+    assert "MapInPandas" in plan
+
+
+def test_ivf_topk_no_cartesian(spark, emb):
+    plan = _physical(S.ivf_topk(emb, S.make_queries(emb, 50), S.make_centroids(emb, 25)))
+    for node in FORBIDDEN:
+        assert node not in plan, f"{node} in ivf_topk plan"
+
+
+def test_simhash_banding_equals_allpairs(spark):
+    """Pigeonhole banding is exact: identical result set to the
+    direct all-pairs Hamming filter on a corpus with known dups."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": [
+                "alpha beta gamma delta", "alpha beta gamma delta",
+                "alpha beta gamma epsilon", "one two three four",
+                "one two three four five", "totally different words here",
+                "alpha beta gamma delta zeta", "x y z w", "x y z w",
+                "lorem ipsum dolor sit", "lorem ipsum dolor sat",
+                "unrelated standalone doc",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    sig = {r["id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    expect = set()
+    ids = sorted(sig)
+    for i in ids:
+        for j in ids:
+            if i < j and bin(sig[i] ^ sig[j]).count("1") <= 3:
+                expect.add((i, j))
+    got = {(r["id_a"], r["id_b"]) for r in D.simhash_pairs(docs, 3).collect()}
+    assert got == expect
+
+
+def test_embedding_lsh_subset_of_exact(spark, emb):
+    """LSH pairs are a subset of the exact pairs with identical cos6
+    (precision 1.0), with usable recall at the demo threshold."""
+    exact = {(r["id_a"], r["id_b"]): r["cos6"] for r in D.embedding_neardup_pairs(emb, 0.3).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos6"] for r in D.embedding_neardup_lsh(emb, 0.3).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    assert len(lsh) / len(exact) >= 0.25, f"LSH recall too low: {len(lsh)}/{len(exact)}"
+
+
+def test_shingles_short_doc_guard(spark):
+    """Docs with < n tokens yield no shingles (ADVICE: descending
+    F.sequence blew up element_at under ANSI mode on 2-token docs)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["one two", "", "x", "a b c d"]})
+    )
+    rows = D.shingles(docs).collect()
+    assert {r["id"] for r in rows} == {4}
+    assert D.ngram_jaccard_pairs(docs, 0.0).count() == 0
+    # and the full LSH path survives short docs
+    assert D.minhash_lsh_pairs(docs, 0.4).count() == 0
+
+
+def test_core_pipeline_scan_hygiene(spark):
+    """The fused pipeline's scan must show the pushed url filter and
+    never read the html column."""
+    from logmetrics_spark.config import load_config
+    from logmetrics_spark.operators.fused import fused_partials
+
+    cfg = load_config("/root/repo/configs/apache.toml")
+    pages = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.lit("en").alias("lang"),
+        "text",
+        F.lit(b"").alias("html"),
+    )
+    # write a real parquet so PushedFilters materializes in the scan
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pages.write.mode("overwrite").parquet(td)
+        src = spark.read.parquet(td)
+        plan = _physical(fused_partials(src, cfg.log_groups[0], observe=False))
+        assert "html" not in plan.split("ReadSchema")[-1]
+        if cfg.log_groups[0].url_match:
+            assert "PushedFilters: [IsNotNull(url)" in plan or "url" in plan.split("PushedFilters")[-1].split("]")[0]

@@ -88,3 +88,51 @@ def test_template_multi_backref(spark):
         operations=(TransformOp("replace", r"^(\w+)-(\w+)$", "@@2@@_@@1@@"),),
     )
     assert _apply(spark, tdef, ["foo-bar", "nomatch"]) == ["bar_foo", "nomatch"]
+
+
+def test_guard_before_replace_interleaves_in_config_order(spark):
+    """ADVICE fix: ops apply in config order against the RUNNING
+    value — a match_or_default placed before a replace feeds its
+    modified value into that replace (oracle semantics)."""
+    tdef = TransformDef(
+        position=1,
+        replace_only_one=True,
+        operations=(
+            TransformOp("match_or_default", r"^/api/", "/other/"),
+            TransformOp("replace", r"^/other/", "fallback"),
+        ),
+    )
+    # '/web/y' fails the guard -> '/other/' -> replace fires -> 'fallback'
+    # '/api/x' passes the guard -> unchanged -> replace misses
+    assert _apply(spark, tdef, ["/web/y", "/api/x"]) == ["fallback", "/api/x"]
+
+
+def test_guard_before_replace_fused_kernel_matches(spark):
+    """Same chain through the fused pandas path."""
+    from logmetrics_spark.operators.fused import _apply_transform_series
+
+    tdef = TransformDef(
+        position=1,
+        replace_only_one=True,
+        operations=(
+            TransformOp("match_or_default", r"^/api/", "/other/"),
+            TransformOp("replace", r"^/other/", "fallback"),
+        ),
+    )
+    got = _apply_transform_series(tdef, pd.Series(["/web/y", "/api/x"]), False)
+    assert list(got) == ["fallback", "/api/x"]
+
+
+def test_guard_before_replace_matches_oracle(spark):
+    from logmetrics_spark.oracle import _apply_transform
+
+    tdef = TransformDef(
+        position=1,
+        replace_only_one=True,
+        operations=(
+            TransformOp("match_or_default", r"^/api/", "/other/"),
+            TransformOp("replace", r"^/other/", "fallback"),
+        ),
+    )
+    assert _apply_transform(tdef, "/web/y", False) == "fallback"
+    assert _apply_transform(tdef, "/api/x", False) == "/api/x"
