@@ -26,7 +26,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--pages", required=True)
-    ap.add_argument("--out", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "-D",
+        "--do-not-send",
+        action="store_true",
+        help="print routed put lines to stdout instead of writing sink "
+        "tables (reference tsdpusher.go:62-63 -D flag)",
+    )
     ap.add_argument("--resume-dir", default=None)
     ap.add_argument("--lookup", action="append", default=[], help="name=path parquet")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -53,7 +60,16 @@ def main() -> None:
     if args.resume_dir:
         stats = run_resumable(spark, cfg, args.pages, args.resume_dir, lookups)
         print(stats)
+    elif args.do_not_send:
+        from logmetrics_spark.operators.route import console_sink
+
+        pages = spark.read.parquet(args.pages)
+        res = run_pipeline(spark, cfg, pages, io=None, lookups=lookups, write=False)
+        n = console_sink(res.routed)
+        print(f"# {n} lines (not sent: -D)", file=sys.stderr)
     else:
+        if not args.out:
+            ap.error("--out is required unless -D/--do-not-send is set")
         pages = spark.read.parquet(args.pages)
         io = TableIO(root=args.out)
         res = run_pipeline(spark, cfg, pages, io=io, lookups=lookups, write=True)

@@ -192,6 +192,7 @@ class Settings:
     push_wait: int = 15
     poll_interval: int = 15
     stats_interval: int = 60
+    log_facility: str = "local0"  # syslog facility (config.go:283-288)
 
 
 @dataclass(frozen=True)
@@ -381,7 +382,12 @@ def load_config_dict(raw: dict) -> PipelineConfig:
         push_wait=int(settings_raw.get("push_wait", 15)),
         poll_interval=int(settings_raw.get("poll_interval", 15)),
         stats_interval=int(settings_raw.get("stats_interval", 60)),
+        log_facility=str(settings_raw.get("log_facility", "local0")),
     )
+    # fail at load on an unmappable facility (config.go:288 log.Fatalf)
+    from .syslog_facility import get_syslog_priority
+
+    get_syslog_priority(settings.log_facility)
     groups_raw = raw.get("log_groups", {})
     if not groups_raw:
         raise ConfigError("config defines no log_groups")

@@ -634,10 +634,12 @@ def _occ_sql(x: str, pat: str) -> str:
     return f"(length({x}) - length(regexp_replace({x}, '{pat}', '', 'g')))"
 
 
-def _marker_sql(marker: str) -> str:
-    pad = "(' ' || lower(text) || ' ')"
-    esc = marker.replace(".", "\\.")
-    return f"({_occ_sql(pad, esc)} / {len(marker)})"
+_TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _word_hits_sql(words: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_TOKS_SQL}, t -> t IN ({inlist})))"
 
 
 @q(
@@ -689,10 +691,7 @@ def q_text_quality(spark, sf_dir):
 
 def _langid_sql() -> str:
     langs = sorted(T.LANG_MARKERS)
-    scores = {
-        lang: " + ".join(_marker_sql(m) for m in T.LANG_MARKERS[lang]) for lang in langs
-    }
-    sel = ", ".join(f"({scores[l]}) AS s_{l}" for l in langs)
+    sel = ", ".join(f"({_word_hits_sql(T.LANG_MARKERS[l])}) AS s_{l}" for l in langs)
     case = "CASE "
     for i, lang in enumerate(langs):
         conds = [f"s_{lang} > 0"]

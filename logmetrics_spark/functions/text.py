@@ -20,12 +20,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# small per-language stopword marker sets (n-gram heuristic)
+# small per-language stopword marker sets (token-membership heuristic)
 LANG_MARKERS: dict[str, list[str]] = {
-    "en": [" the ", " and ", " of ", " is "],
-    "fr": [" le ", " la ", " et ", " est "],
-    "de": [" der ", " die ", " und ", " ist "],
-    "es": [" el ", " los ", " que ", " es "],
+    "en": ["the", "and", "of", "is"],
+    "fr": ["le", "la", "et", "est"],
+    "de": ["der", "die", "und", "ist"],
+    "es": ["el", "los", "que", "es"],
 }
 STOPWORDS_EN = ["the", "a", "of", "and", "is", "to", "in"]
 
@@ -53,6 +53,19 @@ def marker_hits(col: Column, marker: str) -> Column:
     ).cast("long")
 
 
+def tokens(col: Column) -> Column:
+    """Lowercased whitespace tokens (shared by lang-ID / stopword
+    scoring — ONE split instead of one regex pass per marker word)."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def word_hits(toks: Column, words: list[str]) -> Column:
+    """Count of tokens equal to any of ``words`` (native array filter,
+    no regex; DuckDB mirror: len(list_filter(toks, t -> t IN (...)))."""
+    wset = set(words)
+    return F.size(F.filter(toks, lambda t: t.isin(*wset))).cast("long")
+
+
 def _lit_re(s: str) -> str:
     out = []
     for c in s:
@@ -67,10 +80,7 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = token_count(c)
     punct = occurrence_count(c, r"[\.,;:!\?]")
     digits = occurrence_count(c, r"[0-9]")
-    stop_hits = None
-    for w in STOPWORDS_EN:
-        h = marker_hits(c, f" {w} ")
-        stop_hits = h if stop_hits is None else stop_hits + h
+    stop_hits = word_hits(tokens(c), STOPWORDS_EN)  # one split, no regex
     return (
         df.withColumn("n_chars_q", n_chars)
         .withColumn("n_tokens", n_tokens)
@@ -96,13 +106,16 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """n-gram-marker language ID: argmax of per-language marker hits,
-    deterministic tiebreak by language code, 'und' when all zero."""
+    """Stopword-marker language ID: argmax of per-language marker-token
+    counts, deterministic tiebreak by language code, 'und' when all
+    zero. ONE tokenize + one array filter per language (v1 ran 16
+    regexp_replace passes per row — the slowest headline query after
+    parse; token membership is also the cleaner heuristic: adjacent
+    markers no longer shadow each other's shared spaces)."""
     c = F.col(text_col)
+    toks = tokens(c)
     langs = sorted(LANG_MARKERS)  # priority order on ties: alphabetical
-    scores = {
-        lang: sum(marker_hits(c, m) for m in LANG_MARKERS[lang]) for lang in langs
-    }
+    scores = {lang: word_hits(toks, LANG_MARKERS[lang]) for lang in langs}
     # CASE chain (portable argmax): first lang in priority order whose
     # score is maximal and nonzero
     expr = F.lit("und")

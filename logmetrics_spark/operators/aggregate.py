@@ -293,6 +293,24 @@ def make_crunch_mapper(lg: LogGroup, global_last_w: int):
     with numpy segmentation — amortizes per-key overhead across the
     whole Arrow batch (vs per-group applyInPandas calls, which cost
     ~ms per key and serialize the 40k-key case)."""
+    return make_multi_crunch_mapper({lg.name: lg}, {lg.name: global_last_w}, default=lg)
+
+
+def make_multi_crunch_mapper(
+    lg_by_group: dict[str, LogGroup],
+    last_w_by_group: dict[str, int],
+    default: LogGroup | None = None,
+):
+    """Phase-B mapper over MIXED-group partials: each key dispatches
+    to its own log group's emission parameters via the ``group``
+    column — N groups share ONE shuffle and one crunch stage (the
+    single-scan pipeline's back half)."""
+
+    def _lg_of(group: str) -> LogGroup:
+        got = lg_by_group.get(group, default)
+        if got is None:
+            raise KeyError(f"crunch: unknown log group {group!r}")
+        return got
 
     def process_frame(pdf: pd.DataFrame, acc: dict) -> None:
         keys = pdf["key_id"].to_numpy()
@@ -311,6 +329,8 @@ def make_crunch_mapper(lg: LogGroup, global_last_w: int):
         for k0, k1 in zip(bounds[:-1], bounds[1:]):
             meta = tuple(meta_arrays[c][k0] for c in _META)
             metric_type = meta[2]
+            lg = _lg_of(meta[1])  # per-key group dispatch
+            global_last_w = last_w_by_group.get(meta[1], -1)
             n_before = len(acc["ending"])
 
             def emit(boundary, ts, snap, is_dup, is_zero):
@@ -376,6 +396,22 @@ def crunch_emissions(
     n = num_partitions or 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     rep = partials.repartition(n, "key_id").sortWithinPartitions("key_id", "w", "t", "rid")
     return rep.mapInPandas(make_crunch_mapper(lg, global_last_w), schema=EMISSION_SCHEMA)
+
+
+def crunch_emissions_multi(
+    partials: DataFrame,
+    lg_by_group: dict[str, LogGroup],
+    last_w_by_group: dict[str, int],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Phase B over mixed-group partials: one shuffle + one crunch for
+    every log group together (see make_multi_crunch_mapper)."""
+    spark = partials.sparkSession
+    n = num_partitions or 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    rep = partials.repartition(n, "key_id").sortWithinPartitions("key_id", "w", "t", "rid")
+    return rep.mapInPandas(
+        make_multi_crunch_mapper(lg_by_group, last_w_by_group), schema=EMISSION_SCHEMA
+    )
 
 
 def aggregate_stage(

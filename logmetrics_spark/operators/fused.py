@@ -96,10 +96,12 @@ def _apply_transform_series(tdef: TransformDef, s: pd.Series, apply_all: bool) -
     return s
 
 
-def make_fused_kernel(lg: LogGroup, lookup: dict | None = None):
-    """pages batches -> PARTIAL_SCHEMA batches. ``lookup`` is the
-    broadcast enrichment dim as {key: (v1, v2...)} with a
-    ``__columns__`` entry (same shape the oracle consumes)."""
+def make_fused_frame_fn(lg: LogGroup, lookup: dict | None = None):
+    """ONE pages frame -> ONE phase-A partial frame (or None).
+    ``lookup`` is the broadcast enrichment dim as {key: (v1, v2...)}
+    with a ``__columns__`` entry (same shape the oracle consumes).
+    Shared by the single-group kernel and the multi-group single-scan
+    kernel."""
     parse_frame = make_parse_fn(lg)
     tdefs = lg.transform_by_position()
     apply_all = lg.compat.transform_apply_all
@@ -108,11 +110,10 @@ def make_fused_kernel(lg: LogGroup, lookup: dict | None = None):
 
     lk_cols: list[str] = list(lookup["__columns__"]) if lookup else []
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pages_pdf in batches:
+    def frame_fn(pages_pdf: pd.DataFrame) -> pd.DataFrame | None:
             m = parse_frame(pages_pdf)
             if m is None or m.empty:
-                continue
+                return None
             # transforms
             for pos, tdef in tdefs.items():
                 col = f"g{pos}"
@@ -220,7 +221,7 @@ def make_fused_kernel(lg: LogGroup, lookup: dict | None = None):
                 m2_index = m.index
 
             if len(m2_index) == 0:
-                continue
+                return None
 
             # fan-out: one small frame per reference, then local reduce
             frames = []
@@ -263,9 +264,52 @@ def make_fused_kernel(lg: LogGroup, lookup: dict | None = None):
                     for i in idx
                 ]
             dp["h52"] = h52
-            out = local_reduce_frame(dp, lg)
+            return local_reduce_frame(dp, lg)
+
+    return frame_fn
+
+
+def make_fused_kernel(lg: LogGroup, lookup: dict | None = None):
+    """pages batches -> PARTIAL_SCHEMA batches (single group)."""
+    frame_fn = make_fused_frame_fn(lg, lookup)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = frame_fn(pdf)
             if out is not None and len(out):
                 yield out
+
+    return kernel
+
+
+def make_multi_fused_kernel(groups: list[tuple[LogGroup, dict | None]]):
+    """pages batches -> PARTIAL_SCHEMA batches for MANY log groups in
+    one pass: each batch is filtered per group (in-kernel url match)
+    and run through that group's frame fn. The ``group`` column of the
+    partial schema keeps the streams separable downstream — N groups
+    cost ONE scan of the pages table instead of N."""
+    compiled = [
+        (
+            re.compile(lg.url_match) if lg.url_match else None,
+            make_fused_frame_fn(lg, lookup),
+        )
+        for lg, lookup in groups
+    ]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for url_re, frame_fn in compiled:
+                sub = pdf
+                if url_re is not None:
+                    mask = pdf["url"].str.contains(url_re)
+                    if not mask.any():
+                        continue
+                    sub = pdf[mask]
+                out = frame_fn(sub)
+                if out is not None and len(out):
+                    yield out
 
     return kernel
 
@@ -285,3 +329,32 @@ def fused_partials(
             F.sum(F.length("text")).alias("byte_read"),
         )
     return df.mapInPandas(make_fused_kernel(lg, lookup), schema=PARTIAL_SCHEMA)
+
+
+def fused_partials_multi(
+    pages: DataFrame,
+    groups: list[tuple[LogGroup, dict | None]],
+    observe: bool = True,
+) -> DataFrame:
+    """pages -> phase-A partials for ALL groups off ONE scan.
+
+    The native pre-filter is the OR of the groups' url patterns (still
+    pushed to the scan when every group has one — non-matching row
+    groups are skipped); the exact per-group url filter re-applies
+    inside the kernel. line_read/byte_read observe the shared scan
+    once (per-group splits come from the single-group path)."""
+    df = pages
+    pats = [lg.url_match for lg, _ in groups]
+    if pats and all(pats):
+        pre = F.col("url").rlike(pats[0])
+        for p in pats[1:]:
+            pre = pre | F.col("url").rlike(p)
+        df = df.filter(pre)
+    df = df.select("url", "warc_ts", "lang", "text")
+    if observe:
+        df = df.observe(
+            f"{OBS_LINES}.multi",
+            F.sum(F.size(F.split(F.col("text"), "\n"))).alias("line_read"),
+            F.sum(F.length("text")).alias("byte_read"),
+        )
+    return df.mapInPandas(make_multi_fused_kernel(groups), schema=PARTIAL_SCHEMA)

@@ -127,6 +127,25 @@ def stats_put_lines(pool: DataFrame, pusher: DataFrame, hostname: str = "spark")
     return pool_lines.unionByName(pusher_lines)
 
 
+def console_sink(routed: DataFrame, limit: int | None = None, out=None) -> int:
+    """``-D`` do-not-send mode (``tsdpusher.go:62-63``,
+    ``main/logmetrics_collector.go:20``): print each routed line to
+    stdout instead of pushing to a sink. Streams partition-by-
+    partition via ``toLocalIterator`` — no full collect; a debug
+    device by contract (the reference prints line-at-a-time too).
+    Returns the number of lines printed."""
+    import sys
+
+    out = out or sys.stdout
+    n = 0
+    for row in routed.select("line").toLocalIterator():
+        print(row["line"], file=out)
+        n += 1
+        if limit is not None and n >= limit:
+            break
+    return n
+
+
 def write_routed(routed: DataFrame, io: TableIO, table: str = "routed") -> dict:
     """Per-sink partitioned append — one directory per sink table."""
     return io.write(

@@ -96,6 +96,58 @@ def build_emissions(
     return aggregate_stage(dp, lg, global_last_w)
 
 
+def run_pipeline_multi(
+    spark: SparkSession,
+    cfgs: list[PipelineConfig],
+    pages: DataFrame,
+    lookups: dict[str, DataFrame] | None = None,
+) -> PipelineResult:
+    """Every log group of every config off ONE pages scan: single
+    multi-group fused kernel -> single shuffle -> single mixed-group
+    crunch -> route. This is the production shape — N configured
+    grammars must not cost N scans of a 100-TB table (the v1
+    one-plan-per-group union did exactly that).
+
+    Routing settings come from the first config (the fixture configs
+    share push_type/push_number; assert-guarded)."""
+    from ..operators.aggregate import crunch_emissions_multi
+    from ..operators.fused import fused_partials_multi
+
+    lookups = lookups or {}
+    groups: list = []
+    for cfg in cfgs:
+        for lg in cfg.log_groups:
+            groups.append(
+                (lg, lookup_df_to_dict(lookups.get(lg.lookup or "")) if lg.lookup else None)
+            )
+    names = [lg.name for lg, _ in groups]
+    assert len(set(names)) == len(names), f"duplicate log group names: {names}"
+    assert all(
+        (c.settings.push_type, c.settings.push_number)
+        == (cfgs[0].settings.push_type, cfgs[0].settings.push_number)
+        for c in cfgs
+    ), "run_pipeline_multi: configs disagree on routing settings"
+
+    partials = fused_partials_multi(pages, groups)
+    lg_by_group = {lg.name: lg for lg, _ in groups}
+    if any(lg.send_duplicates or lg.stale_removal for lg, _ in groups):
+        partials = partials.persist()
+        rows = partials.groupBy("group").agg(F.max("w").alias("mw")).collect()
+        last_w = {r["group"]: int(r["mw"]) for r in rows if r["mw"] is not None}
+        if not last_w:
+            from ..operators.aggregate import EMISSION_SCHEMA
+
+            emissions = spark.createDataFrame([], EMISSION_SCHEMA)
+        else:
+            emissions = crunch_emissions_multi(partials, lg_by_group, last_w)
+    else:
+        emissions = crunch_emissions_multi(
+            partials, lg_by_group, {n: -1 for n in lg_by_group}
+        )
+    routed = route_stage(emissions, cfgs[0].settings)
+    return PipelineResult(routed=routed, emissions=emissions)
+
+
 def run_pipeline(
     spark: SparkSession,
     cfg: PipelineConfig,

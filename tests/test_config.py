@@ -88,3 +88,61 @@ def test_tag_order_is_alphabetical():
     txt = MINIMAL + "\n[log_groups.g.tags]\nzeta = 1\nalpha = 2\n"
     cfg = load_config_str(txt)
     assert cfg.log_groups[0].tag_order() == ["alpha", "zeta"]
+
+
+def test_syslog_facility_map():
+    """syslog_helper.go:1-26 parity: all 20 facility names map to
+    LOG_INFO|facility with RFC 5424 codes; unknown names raise
+    (config.go:288); default local0 (config.go:310-312)."""
+    from logmetrics_spark.syslog_facility import (
+        FACILITY_CODES,
+        get_syslog_priority,
+    )
+
+    assert len(FACILITY_CODES) == 20
+    assert get_syslog_priority("kern") == 6  # 0<<3 | LOG_INFO
+    assert get_syslog_priority("user") == (1 << 3) | 6
+    assert get_syslog_priority("local0") == (16 << 3) | 6
+    assert get_syslog_priority("local7") == (23 << 3) | 6
+    assert get_syslog_priority(None) == get_syslog_priority("local0")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="log_facility"):
+        get_syslog_priority("nope")
+
+
+def test_log_facility_in_settings():
+    from logmetrics_spark.config import load_config_str
+
+    cfg = load_config_str(
+        """
+[settings]
+log_facility = "daemon"
+[log_groups.g]
+re = ['(x)']
+expected_matches = 1
+key_prefix = "t"
+interval = 15
+[[log_groups.g.metrics.meter]]
+key_suffix = "lines"
+reference = [[0, ""]]
+"""
+    )
+    assert cfg.settings.log_facility == "daemon"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="log_facility"):
+        load_config_str(
+            """
+[settings]
+log_facility = "bogus"
+[log_groups.g]
+re = ['(x)']
+expected_matches = 1
+key_prefix = "t"
+interval = 15
+[[log_groups.g.metrics.meter]]
+key_suffix = "lines"
+reference = [[0, ""]]
+"""
+        )

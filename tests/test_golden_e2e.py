@@ -85,3 +85,28 @@ def test_skewed_hot_key_equality(spark, rest_cfg):
     expect = _oracle_rows(pdf, rest_cfg)
     assert _engine_rows(spark, rest_cfg, pages_df.repartition(16), "fused") == expect
     assert _engine_rows(spark, rest_cfg, pages_df.repartition(1), "fused") == expect
+
+
+def test_multi_group_single_scan_equality(spark, pages, pages_pdf, rest_cfg, apache_cfg):
+    """run_pipeline_multi (one scan, one shuffle, mixed-group crunch)
+    must equal the per-config pipelines AND the oracle — and its plan
+    must contain exactly one source scan."""
+    from logmetrics_spark.plans.pipeline import run_pipeline_multi
+
+    lk = {"hosts": spark.createDataFrame(gen_hosts_lookup_pdf())}
+    res = run_pipeline_multi(spark, [rest_cfg, apache_cfg], pages, lookups=lk)
+    got = collections.Counter((r["line"], r["sink"]) for r in res.routed.collect())
+    expect = _oracle_rows(pages_pdf, rest_cfg) + _oracle_rows(pages_pdf, apache_cfg)
+    assert got == expect
+
+    # single scan: parquet-backed source appears exactly once in the plan
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        pages.write.mode("overwrite").parquet(td)
+        src = spark.read.parquet(td)
+        plan = (
+            run_pipeline_multi(spark, [rest_cfg, apache_cfg], src, lookups=lk)
+            .routed._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Scan parquet") == 1, plan

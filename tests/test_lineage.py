@@ -71,3 +71,32 @@ def test_lineage_entries_carry_audit_fields(spark, apache_cfg, pages_dir):
     for entry in state.values():
         assert entry["status"] == "done"
         assert entry["rows"] >= 0 and "checksum" in entry and entry["path"]
+
+
+def test_stage1_batches_all_units_in_two_jobs(spark, apache_cfg, tmp_path):
+    """>10 pending units must cost exactly 2 Spark jobs (one batched
+    write, one stats read-back) — not 2 jobs PER unit (the v1 serial
+    loop; thousands of driver round-trips at 10^12 rows)."""
+    from logmetrics_spark.plans.lineage import LineageStore, run_stage1_units
+
+    path = str(tmp_path / "pages")
+    spec = SynthSpec(n_rows=240, time_span_seconds=300)
+    pdf = gen_pages_pdf(np.arange(240), spec)
+    spark.createDataFrame(pdf).repartition(12).write.mode("overwrite").parquet(path)
+
+    store = LineageStore(str(tmp_path / "lineage"))
+    sc = spark.sparkContext
+    sc.setJobGroup("stage1-batch", "lineage stage1 job-count probe")
+    try:
+        done, computed = run_stage1_units(
+            spark, apache_cfg, path, str(tmp_path / "staging"), store
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    assert done == 0 and computed == 12
+    ids = sc.statusTracker().getJobIdsForGroup("stage1-batch")
+    assert len(ids) <= 2, f"stage1 ran {len(ids)} jobs for 12 units"
+    # every unit committed with audit fields
+    state = store.load()
+    assert len(state) == 12
+    assert all(e["status"] == "done" for e in state.values())

@@ -159,3 +159,43 @@ reference = [[1, ""]]
         1: ("12", "there"),   # pattern 2 only
         2: ("9", "both"),     # both match -> pattern 1 wins
     }
+
+
+def test_console_sink_prints_put_lines(spark, capsys=None):
+    """-D do-not-send mode: routed lines stream to stdout
+    (tsdpusher.go:62-63)."""
+    import io as _io
+
+    import pandas as pd
+
+    from logmetrics_spark.config import load_config_str
+    from logmetrics_spark.operators.route import console_sink
+    from logmetrics_spark.plans.pipeline import run_pipeline
+
+    cfg = load_config_str(
+        """
+[settings]
+push_number = 2
+push_type = "tsd"
+[log_groups.g]
+re = ['v=(\\d+)']
+expected_matches = 1
+key_prefix = "t"
+interval = 15
+[[log_groups.g.metrics.meter]]
+key_suffix = "lines"
+reference = [[0, ""]]
+"""
+    )
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            [("u1", pd.Timestamp("2024-02-01 00:00:05"), b"", "v=7\nv=9", "en")],
+            columns=["url", "warc_ts", "html", "text", "lang"],
+        )
+    )
+    res = run_pipeline(spark, cfg, pages, io=None, write=False)
+    buf = _io.StringIO()
+    n = console_sink(res.routed, out=buf)
+    lines = buf.getvalue().strip().split("\n")
+    assert n == len(lines) and n > 0
+    assert all(l.startswith("put t.lines.") for l in lines)
