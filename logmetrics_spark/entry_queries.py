@@ -930,8 +930,49 @@ def q_ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb, S.make_queries(emb, 50), 5)
 
 
-@q("ann_ivf_topk", None)  # IVF probe: rows-only (window-over-window plan)
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+    )
+
+
+_IVF_SQL = f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_embedding
+               FROM embeddings WHERE vec_id % 50 = 0),
+    c AS (SELECT vec_id AS c_id, embedding AS c_embedding
+          FROM embeddings WHERE vec_id % 25 = 0),
+    assigned AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.c_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos_sql("e.embedding", "c.c_embedding")} DESC, c.c_id ASC) AS r
+        FROM embeddings e CROSS JOIN c) s WHERE r = 1),
+    probes AS (
+      SELECT q_id, q_embedding, cell FROM (
+        SELECT q.q_id, q.q_embedding, c.c_id AS cell,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                 ORDER BY {_cos_sql("q.q_embedding", "c.c_embedding")} DESC, c.c_id ASC) AS r
+        FROM q CROSS JOIN c) s WHERE r <= 3),
+    scored AS (
+      SELECT p.q_id, a.vec_id, {_cos_sql("a.embedding", "p.q_embedding")} AS cos6
+      FROM assigned a JOIN probes p USING (cell) WHERE a.vec_id <> p.q_id)
+    SELECT q_id, rank, vec_id, cos6 FROM (
+      SELECT q_id, vec_id, cos6,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos6 DESC, vec_id ASC) AS rank
+      FROM scored) r WHERE rank <= 5
+    """
+
+
+@q("ann_ivf_topk", _IVF_SQL)
 def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN probe. Fully oracled: the coarse quantizer is
+    deterministic (every-Nth centroids, cosine rounded to 6dp, ties to
+    the lowest centroid id), so DuckDB replays the identical
+    assignment -> nprobe probing -> per-query top-k; recall vs the
+    exact baseline is additionally pinned by
+    tests/test_functions.py::test_ann_ivf_recall."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_topk(emb, S.make_queries(emb, 50), S.make_centroids(emb, 25), 5, 3)
 
@@ -984,11 +1025,78 @@ reference = [[0, ""]]
     ).log_groups[0]
 
 
-@q("meter_ewma", None)
+def _meter_ewma_sql(tick: int = 3600, interval: int = 86400) -> str:
+    """DuckDB oracle for the Meter emission stream.
+
+    The engine's EWMA recurrence over per-tick sums has a closed form:
+    with data ticks t_1<..<t_k (instant I_i = tick_sum/tick) and
+    boundary tick T_B = (w+1)*interval/tick,
+
+        rate(B) = (1-a)^(T_B-1-t_k) * [ I_1*(1-a)^(t_k-t_1)
+                   + a * sum_{i>=2} I_i*(1-a)^(t_k-t_i) ]
+
+    (first completed tick initializes the rate to its instant — no
+    ``a`` factor; every empty tick multiplies by (1-a)). The join is
+    ticks x emission-windows per key — quadratic in the window count,
+    fine for an oracle."""
+    tpw = interval // tick  # ticks per window
+    import math as _math
+
+    alphas = {m: 1.0 - _math.exp(-tick / 60.0 / m) for m in (1, 5, 15)}
+
+    def rate_expr(m: int) -> str:
+        a = repr(alphas[m])
+        return (
+            f"SUM(CASE WHEN k.t = f.t1 THEN k.instant * POW(1.0 - {a}, wt.tk - k.t) "
+            f"ELSE {a} * k.instant * POW(1.0 - {a}, wt.tk - k.t) END) "
+            f"* POW(1.0 - {a}, (c.w + 1) * {tpw} - 1 - wt.tk)"
+        )
+
+    return f"""
+    WITH dp AS (
+      SELECT 'events.value|meter|type=' || event_type AS key_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    dp2 AS (SELECT key_id, ts_sec, cents,
+                   ts_sec // {tick} AS t, ts_sec // {interval} AS w FROM dp),
+    ticks AS (SELECT key_id, t, SUM(cents) / {float(tick)} AS instant
+              FROM dp2 GROUP BY key_id, t),
+    firstt AS (SELECT key_id, MIN(t) AS t1 FROM ticks GROUP BY key_id),
+    wins AS (SELECT key_id, w, MAX(ts_sec) AS last_update, SUM(cents) AS wsum
+             FROM dp2 GROUP BY key_id, w),
+    cwins AS (SELECT key_id, w, last_update,
+                     CAST(SUM(wsum) OVER (PARTITION BY key_id ORDER BY w) AS BIGINT) AS cnt
+              FROM wins),
+    wt AS (SELECT c.key_id, c.w, MAX(k.t) AS tk
+           FROM cwins c JOIN ticks k ON k.key_id = c.key_id AND k.t // {tpw} <= c.w
+           GROUP BY c.key_id, c.w),
+    rates AS (
+      SELECT c.key_id, c.w, c.last_update, c.cnt,
+             {rate_expr(1)} AS r1, {rate_expr(5)} AS r5, {rate_expr(15)} AS r15
+      FROM cwins c
+      JOIN wt ON wt.key_id = c.key_id AND wt.w = c.w
+      JOIN ticks k ON k.key_id = c.key_id AND k.t // {tpw} <= c.w
+      JOIN firstt f ON f.key_id = c.key_id
+      GROUP BY c.key_id, c.w, c.last_update, c.cnt, wt.tk
+    )
+    SELECT key_id, (w + 1) * {interval} AS boundary, ending, ts, v FROM (
+      SELECT key_id, w, 'count' AS ending, last_update AS ts,
+             ROUND(CAST(cnt AS DOUBLE), 6) AS v FROM rates
+      UNION ALL SELECT key_id, w, 'rate._1min', last_update, ROUND(r1, 6) FROM rates
+      UNION ALL SELECT key_id, w, 'rate._5min', last_update, ROUND(r5, 6) FROM rates
+      UNION ALL SELECT key_id, w, 'rate._15min', last_update, ROUND(r15, 6) FROM rates
+    ) u
+    """
+
+
+@q("meter_ewma", _meter_ewma_sql())
 def q_meter_ewma(spark, sf_dir):
     """Event-time Meter: cumulative count + 1/5/15-min EWMA rates per
     key at daily push boundaries (go-timemetrics Meter semantics,
-    datapool.go:263)."""
+    datapool.go:263). Oracled: the EWMA recurrence has a closed form
+    over data ticks (see _meter_ewma_sql)."""
     from .operators.aggregate import aggregate_stage
 
     dp = _events_as_datapoints(spark, sf_dir, "meter")
@@ -996,11 +1104,78 @@ def q_meter_ewma(spark, sf_dir):
     return em.select("key_id", "boundary", "ending", "ts", F.round("value_num", 6).alias("v"))
 
 
-@q("hist_reservoir", None)
+def _hist_reservoir_sql(size: int = 256, alpha: float = 0.15, interval: int = 86400) -> str:
+    """DuckDB oracle for the exp-decay reservoir Histogram emissions.
+
+    The reservoir at window W is EXACTLY the top-``size`` datapoints
+    (over all windows <= W) by log-priority alpha*ts - ln(u) with the
+    deterministic md5 uniform — order-free, so plain SQL: cumulative
+    window join -> ROW_NUMBER top-k -> go-metrics sample stats over
+    the kept values (percentile interpolation at rank p*(n+1))."""
+    u = f"(({MD5_52_SQL.format(x=_x_)}) + 1) / 4503599627370497.0"
+    # u's md5 input: key_id || '|' || record_id (decimal string)
+    pri = u.replace(_x_, "key_id || '|' || CAST(rid AS VARCHAR)")
+
+    def pct(p: float) -> str:
+        fl = "CAST(FLOOR({p} * (n + 1)) AS BIGINT)".format(p=p)
+        pos = f"({p} * (n + 1))"
+        return (
+            f"CASE WHEN {pos} < 1 THEN CAST(vals[1] AS DOUBLE) "
+            f"WHEN {pos} >= n THEN CAST(vals[n] AS DOUBLE) "
+            f"ELSE vals[{fl}] + ({pos} - FLOOR({pos})) * (vals[{fl} + 1] - vals[{fl}]) END"
+        )
+
+    return f"""
+    WITH dp AS (
+      SELECT 'events.value|histogram|type=' || event_type AS key_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             {MD5_52_SQL.format(x="CAST(event_id AS VARCHAR)")} AS rid
+      FROM events
+    ),
+    dp2 AS (SELECT *, ts_sec // {interval} AS w,
+                   {alpha} * ts_sec - ln({pri}) AS pri
+            FROM dp),
+    wins AS (SELECT key_id, w, MAX(ts_sec) AS last_update FROM dp2 GROUP BY key_id, w),
+    cum AS (SELECT ws.key_id, ws.w, ws.last_update, d.pri, d.rid, d.cents
+            FROM wins ws JOIN dp2 d ON d.key_id = ws.key_id AND d.w <= ws.w),
+    res AS (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY key_id, w ORDER BY pri DESC, rid DESC, cents DESC) AS rk
+            FROM cum),
+    snap AS (
+      SELECT key_id, w, ANY_VALUE(last_update) AS last_update,
+             list_sort(list(cents)) AS vals, COUNT(*) AS n,
+             MIN(cents) AS mn, MAX(cents) AS mx,
+             SUM(CAST(cents AS DOUBLE)) / COUNT(*) AS mean_v,
+             COALESCE(var_samp(CAST(cents AS DOUBLE)), 0.0) AS var_v
+      FROM res WHERE rk <= {size}
+      GROUP BY key_id, w
+    )
+    SELECT key_id, (w + 1) * {interval} AS boundary, ending, ts, ROUND(v, 6) AS v FROM (
+      SELECT key_id, w, 'min' AS ending, last_update AS ts, CAST(mn AS DOUBLE) AS v FROM snap
+      UNION ALL SELECT key_id, w, 'max', last_update, CAST(mx AS DOUBLE) FROM snap
+      UNION ALL SELECT key_id, w, 'mean', last_update, mean_v FROM snap
+      UNION ALL SELECT key_id, w, 'std_dev', last_update, sqrt(var_v) FROM snap
+      UNION ALL SELECT key_id, w, 'p50', last_update, {pct(0.50)} FROM snap
+      UNION ALL SELECT key_id, w, 'p75', last_update, {pct(0.75)} FROM snap
+      UNION ALL SELECT key_id, w, 'p95', last_update, {pct(0.95)} FROM snap
+      UNION ALL SELECT key_id, w, 'p99', last_update, {pct(0.99)} FROM snap
+      UNION ALL SELECT key_id, w, 'p999', last_update, {pct(0.999)} FROM snap
+      UNION ALL SELECT key_id, w, 'sample_size', last_update, CAST(n AS DOUBLE) FROM snap
+    ) u2
+    """
+
+
+_x_ = "__X__"
+
+
+@q("hist_reservoir", _hist_reservoir_sql())
 def q_hist_reservoir(spark, sf_dir):
     """Event-time exp-decay reservoir Histogram: min/max/mean/std_dev/
     p50..p999/sample_size per key at daily boundaries (forward-decay
-    sampling, datapool.go:256-258)."""
+    sampling, datapool.go:256-258). Oracled: the reservoir is the
+    deterministic top-k by md5-derived log-priority (see
+    _hist_reservoir_sql)."""
     from .operators.aggregate import aggregate_stage
 
     dp = _events_as_datapoints(spark, sf_dir, "histogram")

@@ -20,7 +20,12 @@ its Spark-native counterpart:
   Meter state (count + EWMA 1/5/15) per key via
   ``applyInPandasWithState`` with event-time timeout for staleness —
   the direct analog of the reference's in-memory ``dp.data`` map
-  (``datapool.go:40,251-279``).
+  (``datapool.go:40,251-279``); timed-out keys push one ZEROED
+  snapshot before eviction (``datapool.go:315-334``);
+- **end-to-end parity**: :func:`run_streaming_routed` accumulates
+  associative phase-A partials per micro-batch and crunches them
+  globally at finalize, so the streaming output is bit-equal to the
+  batch pipeline on the same input (no per-batch aggregate resets).
 """
 
 from __future__ import annotations
@@ -100,7 +105,22 @@ def streaming_meters(dp: DataFrame, lg: LogGroup, watermark: str = "2 minutes") 
     def update(key, pdfs, state: GroupState):
         (key_id,) = key
         if state.hasTimedOut:
+            # stale eviction emits the ZEROED snapshot once before the
+            # state drops (reference datapool.go:315-334: "push the
+            # zeroed key to stabilize aggregated data"), stamped at the
+            # staleness boundary
+            count, cur_tick, pending, r1, r5, r15, initialized, last_update = state.get
             state.remove()
+            yield pd.DataFrame(
+                {
+                    "key_id": [key_id],
+                    "ts": [int(last_update + stale_ms / 1000)],
+                    "count": [0],
+                    "rate_1min": [0.0],
+                    "rate_5min": [0.0],
+                    "rate_15min": [0.0],
+                }
+            )
             return
         if state.exists:
             count, cur_tick, pending, r1, r5, r15, initialized, last_update = state.get
@@ -170,33 +190,47 @@ def run_streaming_routed(
     lookups: dict | None = None,
     available_now: bool = True,
 ):
-    """End-to-end streaming: pages file-stream -> foreachBatch runs the
-    batch pipeline incrementally and appends routed rows per
-    micro-batch. The checkpoint directory makes the whole chain
-    resumable (restart continues from the last committed offset — the
-    streaming counterpart of plans/lineage.py).
+    """End-to-end streaming with EXACT batch parity: pages file-stream
+    -> foreachBatch computes phase-A PARTIALS per micro-batch and lands
+    them under ``partials/batch_id=N`` (dynamic partition overwrite —
+    a replayed batch rewrites its own partition, so the sink is
+    idempotent under at-least-once foreachBatch); the cheap phase-B
+    crunch + route then runs over the ACCUMULATED partials
+    (:func:`finalize_streaming_routed`). Partials are associative, so
+    micro-batch boundaries cannot change the result: streaming output
+    == ``run_pipeline`` on the same input (pinned by
+    tests/test_streaming.py::test_streaming_equals_batch).
 
-    Semantics note: each micro-batch is aggregated independently
-    (per-batch windows), so cumulative counts/EWMAs reset per batch —
-    the production pattern for exact continuity is the
-    streaming-partials -> periodic-batch-crunch split
-    (:func:`streaming_partials`); this entry point exists for the
-    route-to-sink plumbing and offset-resume story."""
+    The checkpoint directory makes the chain resumable (restart
+    continues from the last committed offset — the streaming
+    counterpart of plans/lineage.py). With ``available_now`` the call
+    blocks until the backlog drains and finalizes before returning; in
+    continuous mode, call :func:`finalize_streaming_routed` on
+    whatever push cadence the sinks want (``datapool.go:280-307``'s
+    interval trigger, here a periodic batch job)."""
     import os
 
-    from ..plans.pipeline import run_pipeline
+    from ..operators.aggregate import PARTIAL_SCHEMA
+    from ..operators.fused import fused_partials_multi
+    from ..plans.pipeline import lookup_df_to_dict
 
+    lookups = lookups or {}
+    groups = [
+        (lg, lookup_df_to_dict(lookups.get(lg.lookup or "")) if lg.lookup else None)
+        for lg in cfg.log_groups
+    ]
     stream = read_pages_stream(spark, pages_path)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        res = run_pipeline(spark, cfg, batch_df, io=None, lookups=lookups, write=False)
+        parts = fused_partials_multi(batch_df, groups, observe=False)
         (
-            res.routed.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .partitionBy("sink")
-            .parquet(os.path.join(out_dir, "routed"))
+            parts.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "partials"))
         )
 
     w = stream.writeStream.foreachBatch(handle_batch).option(
@@ -204,7 +238,45 @@ def run_streaming_routed(
     )
     if available_now:
         w = w.trigger(availableNow=True)
-    return w.start()
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
+        finalize_streaming_routed(spark, cfg, out_dir)
+    return q
+
+
+def finalize_streaming_routed(spark: SparkSession, cfg, out_dir: str) -> DataFrame | None:
+    """Phase B over all partials appended so far: mixed-group crunch +
+    route, overwriting ``routed/`` (idempotent — re-running after more
+    batches extends the output, like lineage stage 2)."""
+    import os
+
+    from ..operators.aggregate import PARTIAL_SCHEMA, crunch_emissions_multi
+    from ..operators.route import route_stage
+
+    pdir = os.path.join(out_dir, "partials")
+    if not os.path.exists(pdir):
+        return None
+    partials = spark.read.schema(PARTIAL_SCHEMA + ", batch_id long").parquet(pdir).drop(
+        "batch_id"
+    )
+    lg_by_group = {lg.name: lg for lg in cfg.log_groups}
+    if any(lg.send_duplicates or lg.stale_removal for lg in cfg.log_groups):
+        partials = partials.persist()
+        rows = partials.groupBy("group").agg(F.max("w").alias("mw")).collect()
+        last_w = {r["group"]: int(r["mw"]) for r in rows if r["mw"] is not None}
+        if not last_w:
+            return None
+    else:
+        last_w = {n: -1 for n in lg_by_group}
+    emissions = crunch_emissions_multi(partials, lg_by_group, last_w)
+    routed = route_stage(emissions, cfg.settings)
+    (
+        routed.write.mode("overwrite")
+        .partitionBy("sink")
+        .parquet(os.path.join(out_dir, "routed"))
+    )
+    return routed
 
 
 def run_stream_to_table(

@@ -118,3 +118,83 @@ def test_streaming_routed_foreachbatch_resume(spark, apache_cfg, stream_dirs, tm
     q2 = run_streaming_routed(spark, apache_cfg, stream_dirs["flat"], out)
     q2.awaitTermination(120)
     assert spark.read.parquet(out + "/routed").count() == n1
+
+
+def test_streaming_equals_batch(spark, apache_cfg, stream_dirs, tmp_path):
+    """North-rule parity: the streaming pipeline (2+ micro-batches,
+    partials accumulated across batches, one global crunch) produces
+    EXACTLY the batch pipeline's routed rows — cumulative counters,
+    EWMAs, stale zero-outs and duplicate heartbeats included."""
+    import collections
+
+    from logmetrics_spark.plans.pipeline import run_pipeline
+    from logmetrics_spark.streaming.stream_pipeline import run_streaming_routed
+
+    out = str(tmp_path / "seq")
+    run_streaming_routed(spark, apache_cfg, stream_dirs["flat"], out)
+    got = collections.Counter(
+        (r["line"], r["sink"])
+        for r in spark.read.parquet(out + "/routed").select("line", "sink").collect()
+    )
+    batch = run_pipeline(
+        spark, apache_cfg, spark.read.parquet(stream_dirs["flat"]), io=None, write=False
+    )
+    expect = collections.Counter(
+        (r["line"], r["sink"]) for r in batch.routed.select("line", "sink").collect()
+    )
+    assert got == expect
+
+
+def test_streaming_meter_timeout_emits_zero(spark, rest_cfg, tmp_path):
+    """Stale eviction pushes one zeroed snapshot (datapool.go:315-334)
+    before the state drops."""
+    import dataclasses
+
+    import pandas as pd
+
+    from logmetrics_spark.sources.synth import PAGES_SCHEMA_DDL
+    from logmetrics_spark.streaming.stream_pipeline import (
+        read_pages_stream,
+        run_stream_to_table,
+        streaming_datapoints,
+        streaming_meters,
+    )
+
+    lg = dataclasses.replace(rest_cfg.log_groups[0], stale_treshold_min=1)
+    src = str(tmp_path / "pages")
+    base_line = (
+        "Jan  1 00:00:{s:02d} rest01.example rest_a.api: blah [c:q] (10) "
+        "[bnt:1/2] [sql:1/2] [membase:1/2] [memcache:1/2] [other:1/2]"
+    )
+    early = pd.DataFrame(
+        [("https://rest01.mynetwork/x", pd.Timestamp("2024-01-01 00:00:00"), b"",
+          base_line.format(s=1), "en")],
+        columns=["url", "warc_ts", "html", "text", "lang"],
+    )
+    late_line = (
+        base_line.format(s=2)
+        .replace("Jan  1 00:00:02", "Jan  1 01:00:00")
+        .replace("rest01.example", "rest02.example")
+    )
+    late = early.assign(text=late_line, url="https://rest02.mynetwork/x")
+    spark.createDataFrame(early).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(late).coalesce(1).write.parquet(src + "/b2")
+    flat = str(tmp_path / "flat")
+    import glob as _g
+    import os as _os
+    import shutil
+
+    _os.makedirs(flat)
+    for i, f in enumerate(sorted(_g.glob(src + "/b*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/file{i}.parquet")
+
+    stream = read_pages_stream(spark, flat, max_files=1)
+    sm = streaming_meters(streaming_datapoints(stream, lg), lg, watermark="0 seconds")
+    out = str(tmp_path / "zout")
+    q = run_stream_to_table(sm, out, str(tmp_path / "zck"))
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    zeroed = [r for r in rows if r["count"] == 0 and r["rate_1min"] == 0.0]
+    assert zeroed, f"no zeroed eviction snapshot emitted; rows={rows}"
+    # the early key (rest01) is the one evicted
+    assert any("host=rest01" in r["key_id"] for r in zeroed)
