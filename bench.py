@@ -53,7 +53,10 @@ HEADLINE = [
     "text_quality",
     "text_lang_id",
     "dedup_exact",
+    "dedup_minhash_lsh",
+    "embed_neardup_lsh",
     "ann_cosine_topk",
+    "ann_ivf_topk",
 ]
 
 

@@ -60,7 +60,11 @@ def decode_stage(media: DataFrame) -> DataFrame:
     """(media_id, payload binary) -> typed metadata + mean pixel.
 
     Arrow-batched mapInPandas; per-batch numpy, no per-row Python in
-    the pixel math."""
+    the pixel math. The per-PAYLOAD Python loop inside the batch is
+    deliberate: opaque variable-length binary blobs can't vectorize
+    across rows (every real codec — PIL, ffmpeg — is called once per
+    payload anyway), and the per-row cost is dominated by the decode
+    itself; the Arrow transfer and the pixel math stay batched."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -419,7 +419,16 @@ def aggregate_stage(
 ) -> DataFrame:
     """datapoints -> emissions. If ``global_last_w`` is None it is
     computed from the (persisted) partials — one tiny action; pass it
-    explicitly to keep the plan lazy (e.g. from source table stats)."""
+    explicitly to keep the plan lazy (e.g. from source table stats).
+
+    Why persist+collect here (dups/stale on) instead of a lazy
+    self-join: the crunch mapper needs the scalar bound BEFORE its
+    closure ships, and joining partials against an aggregate of
+    themselves would re-run the expensive parse kernel twice in one
+    DAG (mapInPandas output is not a reusable exchange). Persisting
+    the partials — O(keys x windows), tiny at any scale — and reading
+    one max is strictly cheaper; the fast path (no dups/stale) skips
+    even that and stays a single fused job."""
     partials = partial_stage(dp, lg)
     if global_last_w is None:
         if not lg.send_duplicates and not lg.stale_removal:

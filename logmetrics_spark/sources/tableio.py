@@ -68,10 +68,14 @@ class TableIO:
     # ---- manifest / lineage (Iceberg-snapshot stand-in) ----
 
     def manifest_path(self, table: str) -> str:
-        return os.path.join(self._path(table), "_lm_manifest.json")
+        # OUTSIDE the table data dir: an overwrite write replaces the
+        # data directory wholesale, and snapshot history must survive
+        # it (Iceberg keeps metadata beside, not inside, the data)
+        return os.path.join(self.root, "_lm_manifests", f"{table}.json")
 
     def _append_manifest(self, table: str, manifest: dict) -> None:
         path = self.manifest_path(table)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         snapshots = []
         if os.path.exists(path):
             with open(path) as fh:
