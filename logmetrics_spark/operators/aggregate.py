@@ -313,7 +313,11 @@ def make_multi_crunch_mapper(
         return got
 
     def process_frame(pdf: pd.DataFrame, acc: dict) -> None:
-        keys = pdf["key_id"].to_numpy()
+        # segment by (group, key_id): two groups may legitimately share
+        # a key_prefix and therefore a key_id — their states must not
+        # merge (each group has its own emission parameters AND its own
+        # series; the oracle keys state on (group, key) too)
+        keys = (pdf["group"] + "\x00" + pdf["key_id"]).to_numpy()
         starts = _np.unique(keys, return_index=True)[1]
         starts = _np.sort(starts)
         bounds = list(starts) + [len(pdf)]
@@ -363,8 +367,9 @@ def make_multi_crunch_mapper(
                 pending = None
             if pdf.empty:
                 continue
-            keys = pdf["key_id"].to_numpy()
-            # hold back the (possibly batch-spanning) trailing key
+            keys = (pdf["group"] + "\x00" + pdf["key_id"]).to_numpy()
+            # hold back the (possibly batch-spanning) trailing
+            # (group, key) segment
             n_tail = int((keys == keys[-1]).sum())
             cut = len(pdf) - n_tail
             if cut > 0:
@@ -394,7 +399,9 @@ def crunch_emissions(
     — measured 24s -> 16s at 8 cores from this alone)."""
     spark = partials.sparkSession
     n = num_partitions or 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
-    rep = partials.repartition(n, "key_id").sortWithinPartitions("key_id", "w", "t", "rid")
+    rep = partials.repartition(n, "group", "key_id").sortWithinPartitions(
+        "group", "key_id", "w", "t", "rid"
+    )
     return rep.mapInPandas(make_crunch_mapper(lg, global_last_w), schema=EMISSION_SCHEMA)
 
 
@@ -408,7 +415,9 @@ def crunch_emissions_multi(
     every log group together (see make_multi_crunch_mapper)."""
     spark = partials.sparkSession
     n = num_partitions or 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
-    rep = partials.repartition(n, "key_id").sortWithinPartitions("key_id", "w", "t", "rid")
+    rep = partials.repartition(n, "group", "key_id").sortWithinPartitions(
+        "group", "key_id", "w", "t", "rid"
+    )
     return rep.mapInPandas(
         make_multi_crunch_mapper(lg_by_group, last_w_by_group), schema=EMISSION_SCHEMA
     )

@@ -110,3 +110,20 @@ def test_multi_group_single_scan_equality(spark, pages, pages_pdf, rest_cfg, apa
             .routed._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Scan parquet") == 1, plan
+
+
+def test_multi_group_without_url_match(spark, pages, pages_pdf, rest_cfg):
+    """A group with NO url filter disables the native prefilter (every
+    page reaches the kernel) but per-group routing stays exact."""
+    import dataclasses
+
+    from logmetrics_spark.plans.pipeline import run_pipeline_multi
+
+    open_lg = dataclasses.replace(
+        rest_cfg.log_groups[0], name="rest.open", url_match=None
+    )
+    open_cfg = dataclasses.replace(rest_cfg, log_groups=(open_lg,))
+    res = run_pipeline_multi(spark, [rest_cfg, open_cfg], pages)
+    got = collections.Counter((r["line"], r["sink"]) for r in res.routed.collect())
+    expect = _oracle_rows(pages_pdf, rest_cfg) + _oracle_rows(pages_pdf, open_cfg)
+    assert got == expect

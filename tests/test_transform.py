@@ -136,3 +136,54 @@ def test_guard_before_replace_matches_oracle(spark):
     )
     assert _apply_transform(tdef, "/web/y", False) == "fallback"
     assert _apply_transform(tdef, "/api/x", False) == "/api/x"
+
+
+# ---------------------------------------------------------------- property
+
+
+def test_transform_three_paths_agree_randomized(spark):
+    """Property: for random op chains (replace/match_or_default in any
+    order, only_one on/off) and random values, the Catalyst expr, the
+    fused pandas kernel, and the sequential oracle produce identical
+    outputs. This is the contract the ADVICE round-2 fix restored —
+    exercised at the path level so op-order regressions can't hide
+    behind fixture configs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logmetrics_spark.operators.fused import _apply_transform_series
+    from logmetrics_spark.oracle import _apply_transform
+
+    # small alphabets keep collision (match) rates high
+    pat = st.sampled_from(
+        [r"^a", r"b$", r"ab", r"^(\w+)/", r"^-$", r"^x(\d+)", r"c.d", r"^/(\w+)/"]
+    )
+    arg_repl = st.sampled_from(["X", "@@1@@_t", "/@@1@@/", "", "0"])
+    arg_dflt = st.sampled_from(["other", "", "dflt"])
+    op = st.one_of(
+        st.tuples(st.just("replace"), pat, arg_repl),
+        st.tuples(st.just("match_or_default"), pat, arg_dflt),
+    )
+    value = st.text(alphabet="ab/x1-cd", min_size=0, max_size=8)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        ops=st.lists(op, min_size=1, max_size=4),
+        values=st.lists(value, min_size=1, max_size=6),
+        only_one=st.booleans(),
+        compat=st.booleans(),
+    )
+    def check(ops, values, only_one, compat):
+        # templates referencing group 1 require a pattern with a group
+        ops = [
+            TransformOp(k, p, a if "(" in p or "@@1@@" not in a else "X")
+            for k, p, a in ops
+        ]
+        tdef = TransformDef(position=1, replace_only_one=only_one, operations=tuple(ops))
+        want = [_apply_transform(tdef, v, compat) for v in values]
+        got_fused = list(_apply_transform_series(tdef, pd.Series(values), compat))
+        assert got_fused == want, f"fused != oracle for ops={ops} values={values}"
+        got_expr = _apply(spark, tdef, values, compat)
+        assert got_expr == want, f"expr != oracle for ops={ops} values={values}"
+
+    check()
