@@ -114,17 +114,21 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------ minhash
 
 
-def minhash_signatures(
-    docs: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """k MinHash values per doc: mh_i = min over shingles of
-    md5_52(i || ':' || shingle). Columns: id, mh0..mh{k-1}."""
-    sh = shingles(docs, id_col, text_col)
+def minhash_signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k MinHash values per doc from a prepared (id, shingle) table:
+    mh_i = min over shingles of md5_52(i || ':' || shingle)."""
     aggs = [
         F.min(md5_52(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(k)
     ]
     return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """k MinHash values per doc. Columns: id, mh0..mh{k-1}."""
+    return minhash_signatures_from_shingles(shingles(docs, id_col, text_col), k)
 
 
 def minhash_lsh_pairs(
@@ -144,8 +148,14 @@ def minhash_lsh_pairs(
     shingle self-join. The result is a *subset* of
     ngram_jaccard_pairs — recall < 1 by construction, the
     scale/accuracy trade of LSH. Returns (id_a, id_b, jaccard6)."""
-    sh = shingles(docs, id_col, text_col, NGRAM_N)
-    sig = minhash_signatures(docs, MINHASH_K, id_col, text_col)
+    # the shingle table feeds FOUR consumers (signatures, both sides
+    # of the candidate-pair intersection, sizes); without persist each
+    # reuse re-runs the explode+distinct shuffle from the raw docs —
+    # measured 4x the whole query's cost. The table is the small
+    # normalized form (O(docs x shingles/doc)), the canonical thing to
+    # materialize at any scale.
+    sh = shingles(docs, id_col, text_col, NGRAM_N).persist()
+    sig = minhash_signatures_from_shingles(sh, MINHASH_K)
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
@@ -318,7 +328,11 @@ def hyperplanes(dim: int, n_planes: int = EMB_LSH_PLANES) -> list[list[float]]:
 
 
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """n_planes-bit sign signature: bit p = (round(vec . plane_p, 6) > 0)."""
+    """n_planes-bit sign signature as a Catalyst expression:
+    bit p = (round(vec . plane_p, 6) > 0). Kept for SQL-shaped uses;
+    the batch path is :func:`with_hyperplane_signature` (one numpy
+    matmul per Arrow batch — the unrolled fold is ~n_planes x dim
+    scalar ops per ROW and dominated embed_neardup_lsh's cost)."""
     sig = None
     for p, plane in enumerate(planes):
         arr = F.array(*[F.lit(v) for v in plane])
@@ -333,6 +347,37 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
         term = bit * F.lit(1 << p).cast("long")
         sig = term if sig is None else sig + term
     return sig
+
+
+def with_hyperplane_signature(
+    emb: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec) -> (id, vec, sig): one numpy matmul per Arrow batch
+    against the broadcast plane matrix; bit-compatible with
+    :func:`hyperplane_signature` (double math, round-6, dot > 0)."""
+    import numpy as np
+    import pandas as pd
+
+    pmat = np.array(planes, dtype=np.float64)  # (P, dim)
+    weights = (1 << np.arange(len(planes), dtype=np.int64)).astype(np.int64)
+
+    def mapper(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            e = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = np.round(e @ pmat.T, 6) > 0  # (n, P)
+            sig = (bits.astype(np.int64) * weights).sum(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], vec_col: pdf[vec_col], "sig": sig}
+            )
+
+    return emb.mapInPandas(
+        mapper, schema=f"{id_col} long, {vec_col} array<float>, sig long"
+    )
 
 
 def embedding_neardup_lsh(
@@ -354,9 +399,10 @@ def embedding_neardup_lsh(
     ANSI SQL. Returns (id_a, id_b, cos6)."""
     planes = hyperplanes(dim, n_planes)
     width = n_planes // n_bands
-    s = emb.select(
-        "vec_id", "embedding", hyperplane_signature(F.col("embedding"), planes).alias("sig")
-    )
+    # persist: the band self-join consumes the signature table on both
+    # sides, and an unpersisted mapInPandas output would recompute its
+    # Python stage twice
+    s = with_hyperplane_signature(emb, planes).persist()
     bands = [
         s.select(
             "vec_id",
