@@ -24,7 +24,13 @@ from pyspark.sql import SparkSession
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", required=True)
+    ap.add_argument(
+        "--config",
+        required=True,
+        action="append",
+        help="TOML config; repeatable — multiple configs run all their "
+        "log groups off ONE pages scan (run_pipeline_multi)",
+    )
     ap.add_argument("--pages", required=True)
     ap.add_argument("--out", default=None)
     ap.add_argument(
@@ -51,20 +57,29 @@ def main() -> None:
         builder = builder.config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
     spark = builder.getOrCreate()
 
-    cfg = load_config(args.config)
+    cfgs = [load_config(c) for c in args.config]
+    cfg = cfgs[0]
     lookups = {}
     for spec in args.lookup:
         name, path = spec.split("=", 1)
         lookups[name] = spark.read.parquet(path)
 
+    def build(pages):
+        if len(cfgs) == 1:
+            return run_pipeline(spark, cfg, pages, io=None, lookups=lookups, write=False)
+        from logmetrics_spark.plans.pipeline import run_pipeline_multi
+
+        return run_pipeline_multi(spark, cfgs, pages, lookups=lookups)
+
     if args.resume_dir:
+        if len(cfgs) > 1:
+            ap.error("--resume-dir supports a single --config")
         stats = run_resumable(spark, cfg, args.pages, args.resume_dir, lookups)
         print(stats)
     elif args.do_not_send:
         from logmetrics_spark.operators.route import console_sink
 
-        pages = spark.read.parquet(args.pages)
-        res = run_pipeline(spark, cfg, pages, io=None, lookups=lookups, write=False)
+        res = build(spark.read.parquet(args.pages))
         n = console_sink(res.routed)
         print(f"# {n} lines (not sent: -D)", file=sys.stderr)
     else:
@@ -72,8 +87,23 @@ def main() -> None:
             ap.error("--out is required unless -D/--do-not-send is set")
         pages = spark.read.parquet(args.pages)
         io = TableIO(root=args.out)
-        res = run_pipeline(spark, cfg, pages, io=io, lookups=lookups, write=True)
-        print({"routed_manifest": res.stats.get("routed_manifest", {}).get("snapshot_id")})
+        if len(cfgs) == 1:
+            res = run_pipeline(spark, cfg, pages, io=io, lookups=lookups, write=True)
+            print({"routed_manifest": res.stats.get("routed_manifest", {}).get("snapshot_id")})
+        else:
+            from logmetrics_spark.operators.route import (
+                pool_stats,
+                pusher_stats,
+                write_routed,
+            )
+
+            res = build(pages)
+            manifest = write_routed(res.routed, io)
+            routed_back = io.read(spark, "routed")
+            io.write(pusher_stats(routed_back), "stats_pusher", manifest_extra={"kind": "stats"})
+            io.write(pool_stats(res.emissions, cfg.log_groups[0]), "stats_pool",
+                     manifest_extra={"kind": "stats"})
+            print({"routed_manifest": manifest.get("snapshot_id")})
     spark.stop()
 
 
