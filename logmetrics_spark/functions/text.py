@@ -115,7 +115,13 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     toks = tokens(c)
     langs = sorted(LANG_MARKERS)  # priority order on ties: alphabetical
-    scores = {lang: word_hits(toks, LANG_MARKERS[lang]) for lang in langs}
+    # materialize the per-language scores as columns FIRST: the argmax
+    # CASE chain references each score ~2x|langs| times, and inline
+    # expressions re-evaluate per reference (see dedup.shingles)
+    scored = df.withColumns(
+        {f"_s_{lang}": word_hits(toks, LANG_MARKERS[lang]) for lang in langs}
+    )
+    scores = {lang: F.col(f"_s_{lang}") for lang in langs}
     # CASE chain (portable argmax): first lang in priority order whose
     # score is maximal and nonzero
     expr = F.lit("und")
@@ -127,7 +133,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             elif other != lang:
                 cond = cond & (scores[lang] >= scores[other])
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return df.withColumn("lang_pred", expr)
+    return scored.withColumn("lang_pred", expr).drop(*[f"_s_{lang}" for lang in langs])
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
