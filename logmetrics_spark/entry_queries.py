@@ -661,6 +661,31 @@ def q_text_token_count(spark, sf_dir):
     )
 
 
+@q(
+    "text_bpe_token_count",
+    f"""
+    SELECT lang,
+           CAST(SUM(CASE WHEN length(text) = 0 THEN 0
+                ELSE len(regexp_extract_all(text, '{T.BPE_TOKEN_RE.replace(chr(39), chr(39) * 2)}')) END) AS BIGINT)
+             AS total_bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def q_text_bpe_token_count(spark, sf_dir):
+    """BPE-ish pre-tokenizer piece count per language (training-data
+    token budgeting; whitespace count is text_token_count)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(T.bpe_token_count(F.col("text"))).alias("total_bpe_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
 _PUNCT_OCC = _occ_sql("text", "[\\.,;:!\\?]")
 _DIGIT_OCC = _occ_sql("text", "[0-9]")
 
@@ -727,6 +752,27 @@ def q_text_lang_id(spark, sf_dir):
 def q_text_fingerprint(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return T.with_fingerprint(d).select("doc_id", "fingerprint")
+
+
+@q(
+    "text_rolling_fingerprint",
+    f"""
+    SELECT doc_id,
+           CASE WHEN length({_NORM_SQL}) = 0 THEN 0
+                ELSE list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    [CAST(ascii(c) AS BIGINT) FOR c IN string_split_regex({_NORM_SQL}, '')]),
+                  (acc, c) -> (acc * {T.ROLL_B} + c) % {T.ROLL_M})
+           END AS roll_h
+    FROM documents
+    """,
+)
+def q_text_rolling_fingerprint(spark, sf_dir):
+    """Rabin-Karp rolling-hash fingerprint per document (the
+    content-defined-chunking primitive in whole-doc form; md5
+    fingerprint is text_fingerprint)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.rolling_fingerprint(F.col("text")).alias("roll_h"))
 
 
 @q(

@@ -38,6 +38,23 @@ def token_count(col: Column) -> Column:
     ).cast("long")
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs RE2 and
+# Java regex implement identically (no lookahead — RE2 has none):
+# contraction suffixes, space-prefixed letter runs, space-prefixed
+# digit runs, space-prefixed punctuation runs, whitespace runs.
+BPE_TOKEN_RE = r"(?:'(?:[sdmt]|ll|ve|re))| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish subword-boundary token count (the training-data-pipeline
+    estimator: counts pre-tokenizer pieces, the quantity BPE vocab
+    merges operate on). Same regex string runs in DuckDB:
+    len(regexp_extract_all(text, pattern))."""
+    return F.when(F.length(col) == 0, F.lit(0)).otherwise(
+        F.size(F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0)))
+    ).cast("long")
+
+
 def occurrence_count(col: Column, pattern: str) -> Column:
     """Occurrences of a 1-char-class regex (length-difference trick —
     portable to DuckDB, unlike regexp_count)."""
@@ -134,6 +151,24 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                 cond = cond & (scores[lang] >= scores[other])
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
     return scored.withColumn("lang_pred", expr).drop(*[f"_s_{lang}" for lang in langs])
+
+
+ROLL_B = 257
+ROLL_M = 1_000_000_007  # fits the fold in int64: acc*B + cp < 2^40
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Rabin-Karp polynomial rolling hash over the normalized text's
+    codepoints: h = fold(h * B + cp) mod M. The windowed/streaming
+    fingerprint primitive (content-defined chunking, winnowing) in its
+    whole-document form; exact DuckDB mirror via list_reduce."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    fold = F.aggregate(
+        F.split(norm, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_B + F.ascii(c)) % ROLL_M,
+    )
+    return F.when(F.length(norm) == 0, F.lit(0).cast("long")).otherwise(fold)
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

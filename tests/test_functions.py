@@ -134,3 +134,26 @@ def test_multimodal_real_codec_is_stubbed(spark):
         M.decode_stage(df).collect()
     with pytest.raises(NotImplementedError):
         M.real_decode_stage(df)
+
+
+def test_bpe_token_count_pieces(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["it's 42 tokens!", "", "hello", "a b"]})
+    )
+    got = [r[0] for r in df.select(T.bpe_token_count(F.col("text"))).collect()]
+    # "it" + "'s" + " 42" + " tokens" + "!" = 5 pieces
+    assert got == [5, 0, 1, 2]
+
+
+def test_rolling_fingerprint_deterministic(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["abc", "ABC  ", "", "abd"]})
+    )
+    got = [r[0] for r in df.select(T.rolling_fingerprint(F.col("text"))).collect()]
+    h = 0
+    for ch in "abc":
+        h = (h * T.ROLL_B + ord(ch)) % T.ROLL_M
+    assert got[0] == h
+    assert got[1] == h  # normalization: lower + trim
+    assert got[2] == 0
+    assert got[3] != h
