@@ -332,28 +332,6 @@ def hyperplanes(dim: int, n_planes: int = EMB_LSH_PLANES) -> list[list[float]]:
     return out
 
 
-def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """n_planes-bit sign signature as a Catalyst expression:
-    bit p = (round(vec . plane_p, 6) > 0). Kept for SQL-shaped uses;
-    the batch path is :func:`with_hyperplane_signature` (one numpy
-    matmul per Arrow batch — the unrolled fold is ~n_planes x dim
-    scalar ops per ROW and dominated embed_neardup_lsh's cost)."""
-    sig = None
-    for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(v) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, arr, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(F.round(dot, 6) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        term = bit * F.lit(1 << p).cast("long")
-        sig = term if sig is None else sig + term
-    return sig
-
-
 def with_hyperplane_signature(
     emb: DataFrame,
     planes: list[list[float]],
@@ -361,8 +339,9 @@ def with_hyperplane_signature(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, vec) -> (id, vec, sig): one numpy matmul per Arrow batch
-    against the broadcast plane matrix; bit-compatible with
-    :func:`hyperplane_signature` (double math, round-6, dot > 0)."""
+    against the broadcast plane matrix; bit p = (round(vec . plane_p, 6) > 0)
+    in double math — the exact contract the DuckDB oracle replays via
+    list_dot_product."""
     import numpy as np
     import pandas as pd
 

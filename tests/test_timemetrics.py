@@ -6,6 +6,8 @@ partial path), percentile interpolation, stale/zero semantics.
 
 import math
 
+import pytest
+
 import numpy as np
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -170,3 +172,52 @@ def test_reservoir_topk_split_merge_property(rows):
     split.merge_candidates(left._res, left.last_update)
     split.merge_candidates(right._res, right.last_update)
     assert whole.snapshot() == split.snapshot()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    ticks=st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, 10_000)), min_size=1, max_size=30
+    ),
+    tick_seconds=st.sampled_from([5, 30, 3600]),
+    boundary_gap=st.integers(0, 50),
+)
+def test_meter_ewma_closed_form_matches_state(ticks, tick_seconds, boundary_gap):
+    """The meter_ewma DuckDB oracle evaluates the EWMA recurrence in
+    closed form:
+
+        rate(T_B) = (1-a)^(T_B-1-t_k) * [ I_1 (1-a)^(t_k-t_1)
+                     + a * sum_{i>=2} I_i (1-a)^(t_k-t_i) ]
+
+    This property pins that formula against MeterState's actual
+    recurrence over random per-tick sums and tick gaps."""
+    import math
+
+    from logmetrics_spark.timemetrics import MeterState
+
+    # dedupe tick indices (merge sums), sort
+    per_tick: dict = {}
+    for t, v in ticks:
+        per_tick[t] = per_tick.get(t, 0) + v
+    items = sorted(per_tick.items())
+    t_last = items[-1][0]
+    T_B = t_last + 1 + boundary_gap
+
+    m = MeterState(tick_seconds=tick_seconds)
+    for t, v in items:
+        m.merge_partial(t, v, float(t * tick_seconds))
+    m.tick_to(float(T_B * tick_seconds))
+    snap = m.snapshot()
+
+    for minutes, ending in ((1.0, "rate._1min"), (5.0, "rate._5min"), (15.0, "rate._15min")):
+        a = 1.0 - math.exp(-tick_seconds / 60.0 / minutes)
+        t1 = items[0][0]
+        tk = items[-1][0]
+        acc = (per_tick[t1] / tick_seconds) * (1.0 - a) ** (tk - t1)
+        for t, v in items[1:]:
+            acc += a * (v / tick_seconds) * (1.0 - a) ** (tk - t)
+        closed = acc * (1.0 - a) ** (T_B - 1 - tk)
+        got = snap[ending]
+        assert got == pytest.approx(closed, rel=1e-9, abs=1e-300), (
+            f"{ending}: state={got} closed={closed}"
+        )
