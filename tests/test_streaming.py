@@ -198,3 +198,49 @@ def test_streaming_meter_timeout_emits_zero(spark, rest_cfg, tmp_path):
     assert zeroed, f"no zeroed eviction snapshot emitted; rows={rows}"
     # the early key (rest01) is the one evicted
     assert any("host=rest01" in r["key_id"] for r in zeroed)
+
+
+def test_streaming_incremental_growth_equals_batch(spark, apache_cfg, tmp_path):
+    """Files arriving BETWEEN runs: first drain processes f0, a second
+    drain (same checkpoint) processes only the new f1, and the
+    re-finalized routed output equals the batch pipeline over both —
+    the glob-poller discovery + incremental aggregation story."""
+    import collections
+    import glob as _g
+    import shutil
+
+    import numpy as np
+
+    from logmetrics_spark.plans.pipeline import run_pipeline
+    from logmetrics_spark.sources.synth import SynthSpec, gen_pages_pdf
+    from logmetrics_spark.streaming.stream_pipeline import run_streaming_routed
+
+    spec = SynthSpec(n_rows=80, time_span_seconds=300)
+    pdf = gen_pages_pdf(np.arange(80), spec)
+    stage = str(tmp_path / "stage")
+    spark.createDataFrame(pdf.iloc[:40]).coalesce(1).write.parquet(stage + "/a")
+    spark.createDataFrame(pdf.iloc[40:]).coalesce(1).write.parquet(stage + "/b")
+    live = str(tmp_path / "live")
+    import os as _os
+
+    _os.makedirs(live)
+    files = sorted(_g.glob(stage + "/*/part-*.parquet"))
+    shutil.copy(files[0], live + "/f0.parquet")
+
+    out = str(tmp_path / "inc")
+    run_streaming_routed(spark, apache_cfg, live, out)  # drains f0, finalizes
+    n_first = spark.read.parquet(out + "/routed").count()
+
+    shutil.copy(files[1], live + "/f1.parquet")  # new file discovered
+    run_streaming_routed(spark, apache_cfg, live, out)  # drains ONLY f1
+
+    got = collections.Counter(
+        (r["line"], r["sink"])
+        for r in spark.read.parquet(out + "/routed").select("line", "sink").collect()
+    )
+    batch = run_pipeline(spark, apache_cfg, spark.read.parquet(live), io=None, write=False)
+    expect = collections.Counter(
+        (r["line"], r["sink"]) for r in batch.routed.select("line", "sink").collect()
+    )
+    assert got == expect
+    assert sum(got.values()) > n_first  # the second drain extended the output
