@@ -87,6 +87,10 @@ def tags_expr(lg: LogGroup, extra_tag_cols: dict[str, Column] | None = None) -> 
 
 
 _INT_RE = r"^[+-]?\d+$"
+# engine-wide float contract: plain decimal/scientific notation only —
+# no underscore separators ('1_0' is 10.0 to Python's float()), no
+# 'inf'/'nan' words (accepted by pandas to_numeric), no hex floats
+FLOAT_RE = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
 
 
 def strict_long(g: Column) -> Column:
@@ -98,13 +102,20 @@ def strict_long(g: Column) -> Column:
     return F.when(t.rlike(_INT_RE), t.try_cast("long"))
 
 
+def strict_double(g: Column) -> Column:
+    """Engine-wide float parse contract (see FLOAT_RE); shared with
+    fused._strict_float and oracle._float_or_none."""
+    t = F.trim(g)
+    return F.when(t.rlike(f"^{FLOAT_RE}$"), t.try_cast("double"))
+
+
 def _base_value(lg: LogGroup, m: MetricDef, ref: MetricRef) -> Column:
     """Scaled int64 value for one reference (``datapool.go:138-177``)."""
     if ref.position == 0:
         return F.lit(1).cast("long")
     g = F.col(f"g{ref.position}")
     if m.value_format == "float":
-        v = g.try_cast("double")
+        v = strict_double(g)
         if m.multiply == 1 and m.divide == 1:
             if lg.compat.float_noscale_zero:
                 return F.when(v.isNotNull(), F.lit(0)).cast("long")

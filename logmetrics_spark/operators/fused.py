@@ -38,6 +38,15 @@ from .aggregate import PARTIAL_SCHEMA, local_reduce_frame
 from .parse import OBS_LINES, OBS_MATCHED, make_parse_fn
 
 _INT_RE = r"[+-]?\d+"
+_FLOAT_RE = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+
+
+def _strict_float(s: pd.Series) -> pd.Series:
+    """Engine-wide float parse contract (datapoints.FLOAT_RE): strip,
+    plain decimal/scientific fullmatch — rejects '1_0', 'inf', hex."""
+    t = s.str.strip()
+    ok = t.str.fullmatch(_FLOAT_RE).fillna(False)
+    return pd.to_numeric(t.where(ok), errors="coerce").astype("float64")
 
 
 def _strict_int(s: pd.Series) -> pd.Series:
@@ -167,7 +176,7 @@ def make_fused_frame_fn(lg: LogGroup, lookup: dict | None = None):
                     elif ref.position == 0:
                         base = pd.Series(1.0, index=m.index)
                     elif mdef.value_format == "float":
-                        f = pd.to_numeric(m[f"g{ref.position}"], errors="coerce").astype("float64")
+                        f = _strict_float(m[f"g{ref.position}"])
                         valid &= f.notna()
                         if mdef.multiply == 1 and mdef.divide == 1:
                             base = (

@@ -210,6 +210,16 @@ def parse_pages(pages: list[dict], lg: LogGroup, lookup: dict | None = None) -> 
     return datapoints
 
 
+def _float_or_none(s: str) -> float | None:
+    # engine-wide float parse contract (datapoints.FLOAT_RE): strip,
+    # plain decimal/scientific only — rejects Python float()-isms like
+    # '1_0' (= 10.0) and 'inf'
+    t = s.strip()
+    if not re.fullmatch(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?", t):
+        return None
+    return float(t)
+
+
 def _int_or_none(s: str) -> int | None:
     # engine-wide int parse contract: strip, then strict [+-]?digits
     # (mirrors operators.datapoints.strict_long / fused._strict_int;
@@ -225,9 +235,8 @@ def _base_value(lg: LogGroup, mdef, ref, groups: list[str]) -> int | None:
         return 1
     raw = groups[ref.position]
     if mdef.value_format == "float":
-        try:
-            f = float(raw)
-        except ValueError:
+        f = _float_or_none(raw)
+        if f is None:
             return None
         if mdef.multiply == 1 and mdef.divide == 1:
             if lg.compat.float_noscale_zero:

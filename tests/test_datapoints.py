@@ -166,3 +166,24 @@ def test_negative_guard_applies_without_ops(spark):
     # sanity: without the flag the same line is kept
     lg0 = load_config_str(CFG.replace("v=(\\d+)", "v=(-?\\d+)")).log_groups[0]
     assert build_datapoints(_mk_pages(spark, "v=-7 f=9.8 host=h1 a=100 b=30"), lg0).count() == 5
+
+
+def test_float_parse_contract_unified(spark):
+    """One float contract across staged/fused/oracle: strip, plain
+    decimal/scientific fullmatch — ' 7.5 ' parses; '1_0', 'inf', '1 0'
+    do not (Python float() accepts the first two)."""
+    import pandas as pd
+
+    from logmetrics_spark.operators.datapoints import strict_double
+    from logmetrics_spark.operators.fused import _strict_float
+    from logmetrics_spark.oracle import _float_or_none
+    from pyspark.sql import functions as F
+
+    vals = [" 7.5 ", "1_0", "inf", "-3e2", ".5", "5.", "1 0", "abc"]
+    expect = [7.5, None, None, -300.0, 0.5, 5.0, None, None]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    staged = [r[0] for r in df.select(strict_double(F.col("v"))).collect()]
+    assert staged == expect
+    fused = _strict_float(pd.Series(vals))
+    assert [None if pd.isna(x) else float(x) for x in fused] == expect
+    assert [_float_or_none(v) for v in vals] == expect
