@@ -787,6 +787,36 @@ def q_dedup_exact(spark, sf_dir):
     return D.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+@q(
+    "dedup_keep_tokens",
+    f"""
+    SELECT lang,
+           COUNT(*) AS kept_docs,
+           CAST(SUM({_TOKC_SQL}) AS BIGINT) AS kept_tokens
+    FROM documents
+    WHERE doc_id IN (
+      SELECT MIN(doc_id) FROM documents GROUP BY md5({_NORM_SQL})
+    )
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q_dedup_keep_tokens(spark, sf_dir):
+    """Dedup APPLIED: keep one doc per exact-duplicate group (min-id
+    keeper, left-semi join — no row explosion), then the post-dedup
+    token budget per language — the step a training pipeline actually
+    runs with the dedup output."""
+    d = _t(spark, sf_dir, "documents")
+    kept = D.dedup_keep(d)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(T.token_count(F.col("text"))).alias("kept_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
 _SHINGLE_SQL = f"""
   SELECT DISTINCT doc_id AS id,
          toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS shingle

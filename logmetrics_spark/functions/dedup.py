@@ -57,6 +57,18 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def dedup_keep(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Apply exact dedup: keep one document per fingerprint group (the
+    min-id keeper) — the filter step a training pipeline actually runs
+    after exact_dedup. Left-semi join against the keeper set: no
+    row explosion, broadcast-able when the keeper table is small,
+    hash join otherwise."""
+    keepers = exact_dedup(docs, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return docs.join(keepers, id_col, "left_semi")
+
+
 # ------------------------------------------------------------ shingles
 
 

@@ -182,6 +182,107 @@ def streaming_meters(dp: DataFrame, lg: LogGroup, watermark: str = "2 minutes") 
     )
 
 
+HIST_STATE_SCHEMA = (
+    "pri array<double>, rid array<long>, val array<long>, last_update double"
+)
+HIST_OUT_SCHEMA = (
+    "key_id string, ts long, sample_size long, min long, max long, "
+    "mean double, p50 double, p95 double, p99 double"
+)
+
+
+def streaming_histograms(dp: DataFrame, lg: LogGroup, watermark: str = "2 minutes") -> DataFrame:
+    """Custom stateful operator: live per-key exp-decay reservoir
+    Histogram via ``applyInPandasWithState`` — the state IS the
+    bounded reservoir (size x (pri, rid, val)), merged with the same
+    deterministic top-s law as the batch crunch, so the live snapshot
+    converges to the batch reservoir on the same input. Event-time
+    timeout evicts stale keys after one zeroed snapshot
+    (``datapool.go:315-334``)."""
+    import hashlib
+
+    from ..timemetrics import HistogramState, np_priorities, np_uniform_from_hash52
+
+    size = lg.histogram_size
+    alpha = lg.histogram_alpha_decay
+    stale_ms = lg.stale_treshold_min * 60 * 1000
+
+    def update(key, pdfs, state: GroupState):
+        (key_id,) = key
+        if state.hasTimedOut:
+            _p, _r, _v, last_update = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "key_id": [key_id],
+                    "ts": [int(last_update + stale_ms / 1000)],
+                    "sample_size": [0], "min": [0], "max": [0],
+                    "mean": [0.0], "p50": [0.0], "p95": [0.0], "p99": [0.0],
+                }
+            )
+            return
+        hs = HistogramState(size=size, alpha=alpha)
+        if state.exists:
+            pri, rid, val, last_update = state.get
+            hs._res = sorted(zip(pri, rid, val))
+            hs.last_update = last_update
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            h52 = pd.Series(
+                [
+                    int(hashlib.md5(f"{key_id}|{r}".encode()).hexdigest()[:13], 16)
+                    for r in pdf["record_id"]
+                ],
+                dtype="float64",
+            )
+            u = np_uniform_from_hash52(h52.to_numpy())
+            pris = np_priorities(pdf["ts_sec"].to_numpy(), u, alpha)
+            cands = [
+                (float(p), int(r), int(v))
+                for p, r, v in zip(pris, pdf["record_id"], pdf["value"])
+            ]
+            hs.merge_candidates(cands, float(pdf["ts_sec"].max()))
+        state.update(
+            (
+                [p for p, _, _ in hs._res],
+                [r for _, r, _ in hs._res],
+                [v for _, _, v in hs._res],
+                float(hs.last_update),
+            )
+        )
+        state.setTimeoutTimestamp(int(hs.last_update * 1000) + stale_ms)
+        snap = hs.snapshot()
+        yield pd.DataFrame(
+            {
+                "key_id": [key_id],
+                "ts": [int(hs.last_update)],
+                "sample_size": [int(snap["sample_size"])],
+                "min": [int(snap["min"])],
+                "max": [int(snap["max"])],
+                "mean": [float(snap["mean"])],
+                "p50": [float(snap["p50"])],
+                "p95": [float(snap["p95"])],
+                "p99": [float(snap["p99"])],
+            }
+        )
+
+    hists = dp.filter(F.col("metric_type") == "histogram").withColumn(
+        "event_time", F.col("ts_sec").cast("timestamp")
+    )
+    return (
+        hists.withWatermark("event_time", watermark)
+        .groupBy("key_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=HIST_OUT_SCHEMA,
+            stateStructType=HIST_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_streaming_routed(
     spark: SparkSession,
     cfg,

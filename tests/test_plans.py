@@ -141,3 +141,69 @@ def test_core_pipeline_scan_hygiene(spark):
         assert "html" not in plan.split("ReadSchema")[-1]
         if cfg.log_groups[0].url_match:
             assert "PushedFilters: [IsNotNull(url)" in plan or "url" in plan.split("PushedFilters")[-1].split("]")[0]
+
+
+def test_phase_a_combiner_bounds_shuffle_volume(spark):
+    """The 100-TB claim in numbers: phase-A partials (what actually
+    crosses the shuffle) must be bounded by keys x windows x
+    (ticks-per-window + histogram cap) per PARTITION — independent of
+    the raw datapoint count."""
+    import numpy as np
+
+    from logmetrics_spark.config import load_config
+    from logmetrics_spark.operators.fused import fused_partials
+    from logmetrics_spark.plans.pipeline import build_datapoints
+    from logmetrics_spark.sources.synth import SynthSpec, gen_pages_pdf
+
+    import dataclasses
+
+    cfg = load_config("/root/repo/configs/rest_api.toml")
+    # throughput profile (the bench shape): 5-min windows — with 15s
+    # windows over a 10-min span every (key, w, t) holds ~1 datapoint
+    # and there is nothing TO combine; reduction is a property of
+    # pages >> keys x windows, which is what a real corpus has
+    lg = dataclasses.replace(cfg.log_groups[0], interval=300, ewma_interval=60)
+    spec = SynthSpec(n_rows=4000, time_span_seconds=600)
+    pages = spark.createDataFrame(gen_pages_pdf(np.arange(4000), spec)).repartition(4)
+
+    from pyspark.sql import functions as F2
+
+    dp = build_datapoints(pages, lg).persist()
+    n_dp = dp.count()
+    assert n_dp > 10_000  # the fan-out actually fanned out
+    partials = fused_partials(pages, lg, observe=False).persist()
+
+    is_hist = F2.col("metric_type") == "histogram"
+    n_sum_dp = dp.filter(~is_hist).count()
+    n_sum_partials = partials.filter(~is_hist).count()
+    n_hist_partials = partials.filter(is_hist).count()
+
+    distinct_kwt = (
+        dp.filter(~is_hist)
+        .select(
+            "key_id",
+            F2.floor(F2.col("ts_sec") / lg.interval).alias("w"),
+            F2.when(
+                F2.col("metric_type") == "meter",
+                F2.floor(F2.col("ts_sec") / lg.ewma_interval),
+            ).otherwise(F2.lit(0)).alias("t"),
+        )
+        .distinct()
+        .count()
+    )
+    distinct_hist_kw = (
+        dp.filter(is_hist)
+        .select("key_id", F2.floor(F2.col("ts_sec") / lg.interval).alias("w"))
+        .distinct()
+        .count()
+    )
+    # exact bounds: sums <= partitions x distinct (key,w,t);
+    # reservoir candidates <= partitions x cap x distinct (key,w)
+    assert n_sum_partials <= 4 * distinct_kwt
+    assert n_hist_partials <= 4 * lg.histogram_size * distinct_hist_kw
+    # and the sums actually COMBINE (pages >> keys x windows here)
+    assert n_sum_partials < n_sum_dp / 2, (
+        f"combiner ineffective: {n_sum_partials} vs {n_sum_dp}"
+    )
+    dp.unpersist()
+    partials.unpersist()

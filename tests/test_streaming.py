@@ -244,3 +244,65 @@ def test_streaming_incremental_growth_equals_batch(spark, apache_cfg, tmp_path):
     )
     assert got == expect
     assert sum(got.values()) > n_first  # the second drain extended the output
+
+
+def test_streaming_histograms_converge_to_batch_reservoir(spark, rest_cfg, stream_dirs):
+    """The live reservoir's final snapshot per key equals the
+    deterministic top-s reservoir computed directly from all
+    datapoints (state merge law == batch combiner law)."""
+    import hashlib
+
+    from logmetrics_spark.streaming.stream_pipeline import streaming_histograms
+    from logmetrics_spark.timemetrics import (
+        HistogramState,
+        np_priorities,
+        np_uniform_from_hash52,
+    )
+
+    lg = rest_cfg.log_groups[0]
+    stream = read_pages_stream(spark, stream_dirs["flat"], max_files=1)
+    sh = streaming_histograms(streaming_datapoints(stream, lg), lg, watermark="0 seconds")
+    out = f"{stream_dirs['base']}/hist_out"
+    q = run_stream_to_table(sh, out, f"{stream_dirs['base']}/ck_h")
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert rows, "stateful histogram stream produced no rows"
+    latest = {}
+    for r in rows:
+        if r["key_id"] not in latest or r["ts"] >= latest[r["key_id"]]["ts"]:
+            latest[r["key_id"]] = r
+
+    dp = (
+        build_datapoints(spark.read.parquet(stream_dirs["flat"]), lg)
+        .filter(F.col("metric_type") == "histogram")
+        .collect()
+    )
+    by_key: dict = {}
+    for r in dp:
+        by_key.setdefault(r["key_id"], []).append(r)
+    import numpy as np
+
+    for key, recs in by_key.items():
+        hs = HistogramState(size=lg.histogram_size, alpha=lg.histogram_alpha_decay)
+        h52 = np.array(
+            [
+                int(hashlib.md5(f"{key}|{r['record_id']}".encode()).hexdigest()[:13], 16)
+                for r in recs
+            ],
+            dtype="float64",
+        )
+        pris = np_priorities(
+            np.array([r["ts_sec"] for r in recs], dtype="float64"),
+            np_uniform_from_hash52(h52),
+            lg.histogram_alpha_decay,
+        )
+        hs.merge_candidates(
+            [(float(p), int(r["record_id"]), int(r["value"])) for p, r in zip(pris, recs)],
+            max(float(r["ts_sec"]) for r in recs),
+        )
+        snap = hs.snapshot()
+        got = latest[key]
+        assert got["sample_size"] == snap["sample_size"], key
+        assert got["min"] == snap["min"] and got["max"] == snap["max"], key
+        assert abs(got["mean"] - snap["mean"]) < 1e-9, key
+        assert abs(got["p95"] - snap["p95"]) < 1e-9, key
