@@ -190,11 +190,105 @@ def _new_state(metric_type: str, lg: LogGroup):
     return HistogramState(size=lg.histogram_size, alpha=lg.histogram_alpha_decay)
 
 
+def _np_format_values(vals):
+    """Vectorized :func:`timemetrics.format_value`: integer-valued
+    floats render bare, the rest with 4 decimals."""
+    out = _np.char.mod("%.4f", vals).astype(object)
+    ints = (vals == _np.floor(vals)) & (_np.abs(vals) < 2.0**53)
+    if ints.any():
+        out[ints] = vals[ints].astype(_np.int64).astype(str)
+    return out
+
+
+def _gap_emit(lg: LogGroup, metric_type: str, never_stale: bool, state,
+              w_from: int, w_to: int, dup_ts, emit, emit_bulk):
+    """Vectorized emission for a run of data-free windows
+    [w_from, w_to] (full-scan mode): duplicate heartbeats in bulk
+    (counter/histogram snapshots are constant across the run; meter
+    rates decay in closed form per boundary tick), with the stale
+    zero-out cutting the run at the first boundary past the TTL — the
+    per-window Python loop over these gaps was >90%% of phase-B time
+    on heartbeat-heavy profiles. Returns (state_or_None, dup_ts)."""
+    interval = lg.interval
+    stale_secs = lg.stale_treshold_min * 60
+
+    if (w_to - w_from) < 64:
+        # SHORT runs (the common case when keys update steadily): the
+        # per-chunk numpy fixed costs (array alloc + string format per
+        # tiny chunk x endings) exceed plain per-window appends —
+        # measured 4x slower end-to-end when everything bulked. Walk
+        # the windows scalar-style; bulk only pays off on long runs
+        # (sparse keys heartbeating across a wide retention span).
+        for W in range(w_from, w_to + 1):
+            B = (W + 1) * interval
+            state.tick_to(float(B))
+            if (
+                lg.stale_removal
+                and not never_stale
+                and (B - state.last_update) >= stale_secs
+            ):
+                state.zero_out()
+                emit(B, B, state.snapshot(), False, True)
+                return None, None
+            if lg.send_duplicates:
+                dup_ts = (dup_ts if dup_ts is not None else int(state.last_update)) + interval
+                emit(B, dup_ts, state.snapshot(), True, False)
+        return state, dup_ts
+
+    bs = (_np.arange(w_from, w_to + 1, dtype=_np.int64) + 1) * interval
+    cut = len(bs)
+    zero_b = None
+    if lg.stale_removal and not never_stale:
+        stale_mask = (bs - state.last_update) >= stale_secs
+        if stale_mask.any():
+            k = int(_np.argmax(stale_mask))
+            zero_b = int(bs[k])
+            cut = k
+
+    if lg.send_duplicates and cut > 0:
+        d0 = dup_ts if dup_ts is not None else int(state.last_update)
+        ts_arr = d0 + interval * _np.arange(1, cut + 1, dtype=_np.int64)
+        dup_ts = int(ts_arr[-1])
+        dup_bs = bs[:cut]
+        if metric_type == "meter":
+            ticks = dup_bs // lg.ewma_interval
+            c0 = state._cur_tick
+            adv = ticks > c0
+            exps = _np.where(adv, ticks - c0 - 1, 0).astype(_np.float64)
+            instant = state._pending / float(state.tick_seconds)
+            alphas = state._alphas()
+            if state._initialized:
+                r1 = [r + a * (instant - r) for r, a in zip(state._rates, alphas)]
+            else:
+                r1 = [instant] * 3
+            for ending, r0v, r1v, a in zip(
+                ("rate._1min", "rate._5min", "rate._15min"), state._rates, r1, alphas
+            ):
+                rates = _np.where(adv, r1v * (1.0 - a) ** exps, r0v)
+                emit_bulk(dup_bs, ts_arr, ending, rates, True, False)
+            emit_bulk(dup_bs, ts_arr, "count", _np.full(cut, float(state.count)), True, False)
+        elif metric_type == "counter":
+            emit_bulk(dup_bs, ts_arr, "count", _np.full(cut, float(state.count)), True, False)
+        else:  # histogram: reservoir untouched by empty windows
+            for ending, v in state.snapshot().items():
+                emit_bulk(dup_bs, ts_arr, ending, _np.full(cut, float(v)), True, False)
+
+    if zero_b is not None:
+        state.tick_to(float(zero_b))
+        state.zero_out()
+        emit(zero_b, zero_b, state.snapshot(), False, True)
+        return None, None
+    state.tick_to(float(bs[-1]))
+    return state, dup_ts
+
+
 def _crunch_one_key(lg: LogGroup, global_last_w: int, metric_type: str,
-                    never_stale: bool, w, t, psum, pmax, pri, rid, val, emit):
+                    never_stale: bool, w, t, psum, pmax, pri, rid, val, emit,
+                    emit_bulk):
     """Replay one key's partials through its metric state, emitting at
     window boundaries per the spec in the module docstring. Operates on
-    numpy slices (sorted by (w, t)); called from the partition mapper."""
+    numpy slices (sorted by (w, t)); called from the partition mapper.
+    Data-free window runs route through :func:`_gap_emit` (bulk)."""
     interval = lg.interval
     stale_secs = lg.stale_treshold_min * 60
 
@@ -209,19 +303,63 @@ def _crunch_one_key(lg: LogGroup, global_last_w: int, metric_type: str,
         b = last_update + stale_secs
         return int(-(-b // interval) * interval)  # ceil to boundary
 
-    full_scan = lg.send_duplicates
-    seg_idx = 0
-    if full_scan:
-        window_iter = range(int(w[0]), global_last_w + 1)
-    else:
-        window_iter = [int(w[s0]) for s0, _ in segs]
+    def merge_seg(s0: int, s1: int) -> None:
+        if metric_type == "meter":
+            for j in range(s0, s1):
+                state.merge_partial(int(t[j]), int(psum[j]), float(pmax[j]))
+        elif metric_type == "counter":
+            for j in range(s0, s1):
+                state.update(float(pmax[j]), int(psum[j]))
+        else:
+            cands = [(float(pri[j]), int(rid[j]), int(val[j])) for j in range(s0, s1)]
+            state.merge_candidates(cands, float(pmax[s0:s1].max()))
 
-    for W in window_iter:
+    full_scan = lg.send_duplicates
+    if full_scan:
+        prev_w = None
+        for seg_i, (s0, s1) in enumerate(list(segs) + [(None, None)]):
+            W = int(w[s0]) if s0 is not None else None
+            if state is not None and prev_w is not None:
+                gap_to = (W - 1) if W is not None else global_last_w
+                if gap_to >= prev_w + 1:
+                    state, dup_ts = _gap_emit(
+                        lg, metric_type, never_stale, state,
+                        prev_w + 1, gap_to, dup_ts, emit, emit_bulk,
+                    )
+            if W is None:
+                break
+            B = (W + 1) * interval
+            if state is None:
+                state = _new_state(metric_type, lg)
+                last_push_maxts = None
+                dup_ts = None
+            merge_seg(s0, s1)
+            state.tick_to(float(B))
+            if (
+                lg.stale_removal
+                and not never_stale
+                and (B - state.last_update) >= stale_secs
+            ):
+                state.zero_out()
+                emit(B, B, state.snapshot(), False, True)
+                state = None
+                prev_w = W
+                continue
+            if last_push_maxts is None or state.last_update > last_push_maxts:
+                emit(B, int(state.last_update), state.snapshot(), False, False)
+                last_push_maxts = state.last_update
+                dup_ts = None
+            else:
+                dup_ts = (dup_ts if dup_ts is not None else int(state.last_update)) + interval
+                emit(B, dup_ts, state.snapshot(), True, False)
+            prev_w = W
+        return
+
+    for s0, s1 in segs:
+        W = int(w[s0])
         B = (W + 1) * interval
-        has_rows = seg_idx < len(segs) and int(w[segs[seg_idx][0]]) == W
         if (
-            not full_scan
-            and lg.stale_removal
+            lg.stale_removal
             and not never_stale
             and state is not None
         ):
@@ -231,24 +369,11 @@ def _crunch_one_key(lg: LogGroup, global_last_w: int, metric_type: str,
                 state.zero_out()
                 emit(b_star, b_star, state.snapshot(), False, True)
                 state = None
-        if has_rows:
-            s0, s1 = segs[seg_idx]
-            seg_idx += 1
-            if state is None:
-                state = _new_state(metric_type, lg)
-                last_push_maxts = None
-                dup_ts = None
-            if metric_type == "meter":
-                for j in range(s0, s1):
-                    state.merge_partial(int(t[j]), int(psum[j]), float(pmax[j]))
-            elif metric_type == "counter":
-                for j in range(s0, s1):
-                    state.update(float(pmax[j]), int(psum[j]))
-            else:
-                cands = [(float(pri[j]), int(rid[j]), int(val[j])) for j in range(s0, s1)]
-                state.merge_candidates(cands, float(pmax[s0:s1].max()))
         if state is None:
-            continue
+            state = _new_state(metric_type, lg)
+            last_push_maxts = None
+            dup_ts = None
+        merge_seg(s0, s1)
         state.tick_to(float(B))
 
         if (
@@ -265,14 +390,10 @@ def _crunch_one_key(lg: LogGroup, global_last_w: int, metric_type: str,
             emit(B, int(state.last_update), state.snapshot(), False, False)
             last_push_maxts = state.last_update
             dup_ts = None
-        elif lg.send_duplicates:
-            dup_ts = (dup_ts if dup_ts is not None else int(state.last_update)) + interval
-            emit(B, dup_ts, state.snapshot(), True, False)
 
     # fast-path tail: staleness firing after the last update window
     if (
-        not full_scan
-        and lg.stale_removal
+        lg.stale_removal
         and not never_stale
         and state is not None
     ):
@@ -349,17 +470,60 @@ def make_multi_crunch_mapper(
                     acc["is_dup"].append(is_dup)
                     acc["is_zero"].append(is_zero)
 
+            def emit_bulk(boundaries, ts_arr, ending, values, is_dup, is_zero):
+                n = len(boundaries)
+                if n == 0:
+                    return
+                b = acc["_bulk"]
+                b["boundary"].append(boundaries)
+                b["ending"].append(_np.full(n, ending, dtype=object))
+                b["ts"].append(ts_arr)
+                b["value_num"].append(values)
+                b["value_str"].append(_np_format_values(values))
+                b["is_dup"].append(_np.full(n, is_dup, dtype=bool))
+                b["is_zero"].append(_np.full(n, is_zero, dtype=bool))
+                acc["_bulk_meta"].append((meta, n))
+                acc["_bulk_rows"] += n
+
             _crunch_one_key(
                 lg, global_last_w, metric_type, bool(ns[k0:k1].max()),
                 w[k0:k1], t[k0:k1], psum[k0:k1], pmax[k0:k1],
-                pri[k0:k1], rid[k0:k1], val[k0:k1], emit,
+                pri[k0:k1], rid[k0:k1], val[k0:k1], emit, emit_bulk,
             )
             n_new = len(acc["ending"]) - n_before
             for c, v in zip(_META, meta):
                 acc[c].extend([v] * n_new)
 
+    _BULK_COLS = ["boundary", "ending", "ts", "value_num", "value_str", "is_dup", "is_zero"]
+
+    def _new_acc():
+        return {
+            **{c: [] for c in _OUT_COLS},
+            "_bulk": {c: [] for c in _BULK_COLS},
+            "_bulk_meta": [],
+            "_bulk_rows": 0,
+        }
+
+    def _flush(acc) -> pd.DataFrame | None:
+        frames = []
+        if len(acc["ending"]):
+            frames.append(pd.DataFrame({c: acc[c] for c in _OUT_COLS}))
+        if acc["_bulk_meta"]:
+            counts = [n for _, n in acc["_bulk_meta"]]
+            data = {}
+            for i, c in enumerate(_META):
+                data[c] = _np.repeat(
+                    _np.array([m[i] for m, _ in acc["_bulk_meta"]], dtype=object), counts
+                )
+            for c in _BULK_COLS:
+                data[c] = _np.concatenate(acc["_bulk"][c])
+            frames.append(pd.DataFrame({c: data[c] for c in _OUT_COLS}))
+        if not frames:
+            return None
+        return frames[0] if len(frames) == 1 else pd.concat(frames, ignore_index=True)
+
     def mapper(batches):
-        acc = {c: [] for c in _OUT_COLS}
+        acc = _new_acc()
         pending: pd.DataFrame | None = None
         for pdf in batches:
             if pending is not None:
@@ -375,13 +539,16 @@ def make_multi_crunch_mapper(
             if cut > 0:
                 process_frame(pdf.iloc[:cut], acc)
             pending = pdf.iloc[cut:]
-            if len(acc["ending"]) >= 200_000:
-                yield pd.DataFrame(acc)
-                acc = {c: [] for c in _OUT_COLS}
+            if len(acc["ending"]) + acc["_bulk_rows"] >= 200_000:
+                out = _flush(acc)
+                if out is not None:
+                    yield out
+                acc = _new_acc()
         if pending is not None and len(pending):
             process_frame(pending, acc)
-        if len(acc["ending"]):
-            yield pd.DataFrame(acc)
+        out = _flush(acc)
+        if out is not None:
+            yield out
 
     return mapper
 

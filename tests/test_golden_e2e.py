@@ -127,3 +127,40 @@ def test_multi_group_without_url_match(spark, pages, pages_pdf, rest_cfg):
     got = collections.Counter((r["line"], r["sink"]) for r in res.routed.collect())
     expect = _oracle_rows(pages_pdf, rest_cfg) + _oracle_rows(pages_pdf, open_cfg)
     assert got == expect
+
+
+def test_long_gap_heartbeats_equal_oracle(spark, rest_cfg):
+    """Long data-free runs (>64 windows) route through the vectorized
+    gap emitter — pin it against the oracle with two updates an hour
+    apart (240 x 15s heartbeat windows, meter decay + stale cut)."""
+    import dataclasses
+
+    import pandas as pd
+
+    line = (
+        "Jan  1 00:{m:02d}:{s:02d} rest01.example rest_a.api: blah [c:q] (10) "
+        "[bnt:1/2] [sql:3/4] [membase:1/2] [memcache:1/2] [other:1/2]"
+    )
+    pdf = pd.DataFrame(
+        [
+            ("https://rest01.mynetwork/x", pd.Timestamp("2024-01-01 00:00:00"), b"",
+             line.format(m=0, s=1), "en"),
+            ("https://rest01.mynetwork/y", pd.Timestamp("2024-01-01 01:00:00"), b"",
+             line.format(m=59, s=58), "en"),
+        ],
+        columns=["url", "warc_ts", "html", "text", "lang"],
+    )
+    pages = spark.createDataFrame(pdf)
+    for stale, stale_min in ((False, 15), (True, 15), (True, 3)):
+        lgs = tuple(
+            dataclasses.replace(lg, stale_removal=stale, stale_treshold_min=stale_min)
+            for lg in rest_cfg.log_groups
+        )
+        cfg = dataclasses.replace(rest_cfg, log_groups=lgs)
+        eng = _engine_rows(spark, cfg, pages)
+        orc = _oracle_rows(pdf, cfg)
+        assert eng == orc, (
+            f"long-gap mismatch (stale={stale}, min={stale_min}): "
+            f"only_engine={list((eng - orc).items())[:3]} "
+            f"only_oracle={list((orc - eng).items())[:3]}"
+        )
