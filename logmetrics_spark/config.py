@@ -384,10 +384,14 @@ def load_config_dict(raw: dict) -> PipelineConfig:
         stats_interval=int(settings_raw.get("stats_interval", 60)),
         log_facility=str(settings_raw.get("log_facility", "local0")),
     )
-    # fail at load on an unmappable facility (config.go:288 log.Fatalf)
+    # fail at load on an unmappable facility (config.go:288 log.Fatalf),
+    # surfaced through the module's uniform ConfigError contract
     from .syslog_facility import get_syslog_priority
 
-    get_syslog_priority(settings.log_facility)
+    try:
+        get_syslog_priority(settings.log_facility)
+    except ValueError as e:
+        raise ConfigError(str(e)) from e
     groups_raw = raw.get("log_groups", {})
     if not groups_raw:
         raise ConfigError("config defines no log_groups")

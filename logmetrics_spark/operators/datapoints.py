@@ -86,26 +86,27 @@ def tags_expr(lg: LogGroup, extra_tag_cols: dict[str, Column] | None = None) -> 
     return F.concat_ws(" ", *parts)
 
 
-_INT_RE = r"^[+-]?\d+$"
-# engine-wide float contract: plain decimal/scientific notation only —
-# no underscore separators ('1_0' is 10.0 to Python's float()), no
-# 'inf'/'nan' words (accepted by pandas to_numeric), no hex floats
-FLOAT_RE = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+# engine-wide parse contracts (rationale in contracts.py — pure
+# module so the Spark-free oracle shares the same constants)
+from ..contracts import FLOAT_RE, INT_RE, STRIP_CHARS  # noqa: F401
+from ..contracts import STRIP_RE as _STRIP_RE
+
+
+def _ascii_trim(g: Column) -> Column:
+    return F.regexp_replace(g, _STRIP_RE, "")
 
 
 def strict_long(g: Column) -> Column:
-    """Engine-wide int parse contract: strip, strict [+-]?digits
-    fullmatch, else NULL (shared with fused._strict_int and
-    oracle._int_or_none — no whitespace-tolerant try_cast, no
-    underscore separators)."""
-    t = F.trim(g)
-    return F.when(t.rlike(_INT_RE), t.try_cast("long"))
+    """Engine-wide int parse contract (see INT_RE / STRIP_CHARS);
+    shared with fused._strict_int and oracle._int_or_none."""
+    t = _ascii_trim(g)
+    return F.when(t.rlike(f"^{INT_RE}$"), t.try_cast("long"))
 
 
 def strict_double(g: Column) -> Column:
     """Engine-wide float parse contract (see FLOAT_RE); shared with
     fused._strict_float and oracle._float_or_none."""
-    t = F.trim(g)
+    t = _ascii_trim(g)
     return F.when(t.rlike(f"^{FLOAT_RE}$"), t.try_cast("double"))
 
 

@@ -37,27 +37,34 @@ from ..regexc import clean_verbose_regex
 from .aggregate import PARTIAL_SCHEMA, local_reduce_frame
 from .parse import OBS_LINES, OBS_MATCHED, make_parse_fn
 
-_INT_RE = r"[+-]?\d+"
-_FLOAT_RE = r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?"
+from ..contracts import FLOAT_RE as _FLOAT_RE
+from ..contracts import INT_RE as _INT_RE
+from ..contracts import STRIP_CHARS as _STRIP_CHARS
 
 
 def _strict_float(s: pd.Series) -> pd.Series:
-    """Engine-wide float parse contract (datapoints.FLOAT_RE): strip,
-    plain decimal/scientific fullmatch — rejects '1_0', 'inf', hex."""
-    t = s.str.strip()
+    """Engine-wide float parse contract (datapoints.FLOAT_RE; ASCII
+    digits + ASCII strip set): rejects '1_0', 'inf', hex, unicode."""
+    t = s.str.strip(_STRIP_CHARS)
     ok = t.str.fullmatch(_FLOAT_RE).fillna(False)
     return pd.to_numeric(t.where(ok), errors="coerce").astype("float64")
 
 
 def _strict_int(s: pd.Series) -> pd.Series:
-    """Engine-wide int parse contract (shared by all three paths —
-    fused, staged try_cast+rlike, oracle): strip surrounding
-    whitespace, then strict [+-]?digits fullmatch (no underscore
-    separators, no interior spaces). -> float64 with NaN on failure."""
-    t = s.str.strip()
+    """Engine-wide int parse contract (contracts.INT_RE; <=18 ASCII
+    digits, ASCII strip set — shared by all three paths: fused,
+    staged rlike+try_cast, oracle). -> nullable Int64 with <NA> on
+    failure: float64 would silently round bodies above 2^53 while the
+    staged longs and the oracle ints stay exact."""
+    t = s.str.strip(_STRIP_CHARS)
     ok = t.str.fullmatch(_INT_RE).fillna(False)
-    out = pd.to_numeric(t.where(ok), errors="coerce")
-    return out.astype("float64")
+    # parse matching rows straight to int64: to_numeric routes through
+    # float64 whenever NaNs are present and silently rounds >2^53
+    res = pd.array([None] * len(t), dtype="Int64")
+    okv = ok.to_numpy()
+    if okv.any():
+        res[okv] = t[ok].astype("int64").to_numpy()
+    return pd.Series(res, index=s.index)
 
 
 def _expand_template(template: str, source: pd.Series, pattern: str) -> pd.Series:
@@ -174,7 +181,7 @@ def make_fused_frame_fn(lg: LogGroup, lookup: dict | None = None):
                     if lg.compat.cumulative_ops and ref.position in running:
                         base = running[ref.position]
                     elif ref.position == 0:
-                        base = pd.Series(1.0, index=m.index)
+                        base = pd.Series(1, index=m.index, dtype="Int64")
                     elif mdef.value_format == "float":
                         f = _strict_float(m[f"g{ref.position}"])
                         valid &= f.notna()
@@ -201,7 +208,12 @@ def make_fused_frame_fn(lg: LogGroup, lookup: dict | None = None):
                         if mdef.multiply > 1:
                             v = v * mdef.multiply
                         if mdef.divide > 1:
-                            v = np.trunc(v / mdef.divide)
+                            # divide in double (staged casts long->double,
+                            # oracle int(v/d) — same float semantics), then
+                            # truncate back to exact Int64
+                            v = pd.Series(
+                                np.trunc(v.astype("float64") / mdef.divide), index=v.index
+                            ).astype("Int64")
                         base = v
                     val = base
                     for pos in ref.add:
@@ -291,34 +303,69 @@ def make_fused_kernel(lg: LogGroup, lookup: dict | None = None):
     return kernel
 
 
-def make_multi_fused_kernel(groups: list[tuple[LogGroup, dict | None]]):
-    """pages batches -> PARTIAL_SCHEMA batches for MANY log groups in
-    one pass: each batch is filtered per group (in-kernel url match)
-    and run through that group's frame fn. The ``group`` column of the
-    partial schema keeps the streams separable downstream — N groups
-    cost ONE scan of the pages table instead of N."""
-    compiled = [
+PAGES_BASE_COLS = ["url", "warc_ts", "lang", "text"]
+
+
+def mask_col(i: int) -> str:
+    return f"_urlm_{i}"
+
+
+def with_group_url_masks(df: DataFrame, groups: list[tuple[LogGroup, dict | None]]) -> DataFrame:
+    """One boolean column per group with a url filter, computed with
+    Spark's rlike (Java regex) — the kernel then filters on the MASK,
+    never re-evaluating the pattern in Python (whose regex dialect
+    differs: unicode \\d, no possessive quantifiers, different inline
+    flag rules — a config valid in single-group mode must behave
+    identically in multi-group mode)."""
+    for i, (lg, _) in enumerate(groups):
+        if lg.url_match:
+            df = df.withColumn(mask_col(i), F.col("url").rlike(lg.url_match))
+    return df
+
+
+def make_group_appliers(groups: list[tuple[LogGroup, dict | None]]):
+    """[(group_name, mask_col_or_None, frame_fn)] — the shared
+    per-group dispatch used by the multi-group kernel AND the lineage
+    unit kernel (plans/lineage.py)."""
+    return [
         (
-            re.compile(lg.url_match) if lg.url_match else None,
+            lg.name,
+            mask_col(i) if lg.url_match else None,
             make_fused_frame_fn(lg, lookup),
         )
-        for lg, lookup in groups
+        for i, (lg, lookup) in enumerate(groups)
     ]
+
+
+def apply_group_frames(pdf: pd.DataFrame, appliers) -> Iterator[tuple[str, pd.DataFrame]]:
+    """Run one pages frame through every group's frame fn, filtered by
+    that group's precomputed (JVM-side) url mask column."""
+    for gname, mcol, frame_fn in appliers:
+        sub = pdf
+        if mcol is not None:
+            mask = pdf[mcol].to_numpy()
+            if not mask.any():
+                continue
+            sub = pdf[mask]
+        out = frame_fn(sub[PAGES_BASE_COLS])
+        if out is not None and len(out):
+            yield gname, out
+
+
+def make_multi_fused_kernel(groups: list[tuple[LogGroup, dict | None]]):
+    """pages batches -> PARTIAL_SCHEMA batches for MANY log groups in
+    one pass: each batch is filtered per group (precomputed native url
+    mask) and run through that group's frame fn. The ``group`` column
+    of the partial schema keeps the streams separable downstream — N
+    groups cost ONE scan of the pages table instead of N."""
+    appliers = make_group_appliers(groups)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if pdf.empty:
                 continue
-            for url_re, frame_fn in compiled:
-                sub = pdf
-                if url_re is not None:
-                    mask = pdf["url"].str.contains(url_re)
-                    if not mask.any():
-                        continue
-                    sub = pdf[mask]
-                out = frame_fn(sub)
-                if out is not None and len(out):
-                    yield out
+            for _gname, out in apply_group_frames(pdf, appliers):
+                yield out
 
     return kernel
 
@@ -359,7 +406,7 @@ def fused_partials_multi(
         for p in pats[1:]:
             pre = pre | F.col("url").rlike(p)
         df = df.filter(pre)
-    df = df.select("url", "warc_ts", "lang", "text")
+    df = with_group_url_masks(df.select(*PAGES_BASE_COLS), groups)
     if observe:
         df = df.observe(
             f"{OBS_LINES}.multi",

@@ -211,21 +211,26 @@ def parse_pages(pages: list[dict], lg: LogGroup, lookup: dict | None = None) -> 
 
 
 def _float_or_none(s: str) -> float | None:
-    # engine-wide float parse contract (datapoints.FLOAT_RE): strip,
-    # plain decimal/scientific only — rejects Python float()-isms like
-    # '1_0' (= 10.0) and 'inf'
-    t = s.strip()
-    if not re.fullmatch(r"[+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?", t):
+    # engine-wide float parse contract (contracts.FLOAT_RE, ASCII
+    # digits + ASCII strip set): rejects Python float()-isms like
+    # '1_0' (= 10.0), 'inf', and unicode digits/whitespace
+    from .contracts import FLOAT_RE, STRIP_CHARS
+
+    t = s.strip(STRIP_CHARS)
+    if not re.fullmatch(FLOAT_RE, t):
         return None
     return float(t)
 
 
 def _int_or_none(s: str) -> int | None:
-    # engine-wide int parse contract: strip, then strict [+-]?digits
-    # (mirrors operators.datapoints.strict_long / fused._strict_int;
-    # notably REJECTS Python-int()-isms like '1_0')
-    t = s.strip()
-    if not re.fullmatch(r"[+-]?\d+", t):
+    # engine-wide int parse contract (contracts.INT_RE: <=18 ASCII
+    # digits, ASCII strip set — mirrors strict_long / _strict_int;
+    # notably REJECTS '1_0', unicode digits like '٥٣', and int64-
+    # overflowing bodies that Python's unbounded int() would accept)
+    from .contracts import INT_RE, STRIP_CHARS
+
+    t = s.strip(STRIP_CHARS)
+    if not re.fullmatch(INT_RE, t):
         return None
     return int(t)
 

@@ -85,37 +85,22 @@ def plan_units(spark: SparkSession, pages_path: str) -> list[str]:
 
 
 def _make_unit_kernel(groups):
-    """pages batches (with a ``u`` unit column) -> per-unit partial
-    batches: each Arrow batch splits by unit, each unit slice runs the
-    multi-group fused frame fns separately (associativity makes the
-    per-slice local reduction sound), partials carry (u, g)."""
-    import re as _re
+    """pages batches (with a ``u`` unit column + native url mask
+    columns) -> per-unit partial batches: each Arrow batch splits by
+    unit, each unit slice runs the SAME per-group dispatch as the
+    multi-group kernel (fused.apply_group_frames — one implementation,
+    JVM-evaluated url masks), partials carry (u, g)."""
+    from ..operators.fused import apply_group_frames, make_group_appliers
 
-    from ..operators.fused import make_fused_frame_fn
-
-    compiled = [
-        (lg.name, _re.compile(lg.url_match) if lg.url_match else None,
-         make_fused_frame_fn(lg, lookup))
-        for lg, lookup in groups
-    ]
+    appliers = make_group_appliers(groups)
 
     def kernel(batches):
         for pdf in batches:
             if pdf.empty:
                 continue
             for uid, sub in pdf.groupby("u", sort=False):
-                sub = sub.drop(columns=["u"])
-                for gname, url_re, frame_fn in compiled:
-                    s2 = sub
-                    if url_re is not None:
-                        mask = sub["url"].str.contains(url_re)
-                        if not mask.any():
-                            continue
-                        s2 = sub[mask]
-                    out = frame_fn(s2)
-                    if out is not None and len(out):
-                        out = out.assign(u=uid, g=gname)
-                        yield out
+                for gname, out in apply_group_frames(sub, appliers):
+                    yield out.assign(u=uid, g=gname)
 
     return kernel
 
@@ -156,12 +141,15 @@ def run_stage1_units(
     # (small) Spark job per read and this path is graded on job count.
     from ..sources.synth import PAGES_SCHEMA_DDL
 
+    from ..operators.fused import PAGES_BASE_COLS, with_group_url_masks
+
     pages = spark.read.schema(PAGES_SCHEMA_DDL).parquet(*pending).withColumn(
         "u",
         F.substring(
             F.md5(F.element_at(F.split(F.input_file_name(), "/"), -1)), 1, 16
         ),
-    ).select("u", "url", "warc_ts", "lang", "text")
+    ).select("u", *PAGES_BASE_COLS)
+    pages = with_group_url_masks(pages, groups)
     partials = pages.mapInPandas(
         _make_unit_kernel(groups), schema=PARTIAL_SCHEMA + ", u string, g string"
     )
@@ -226,16 +214,30 @@ def run_stage2_global(
     cfg: PipelineConfig,
     staging_dir: str,
     io: TableIO,
+    committed_units: set[str] | None = None,
 ) -> DataFrame:
-    """Global crunch + route over all unit partials (idempotent)."""
+    """Global crunch + route over unit partials (idempotent). When
+    ``committed_units`` is given, ONLY those units' partitions are
+    read — stale partitions from crashed runs or a pre-migration unit
+    id scheme must never be double-counted into the routed output."""
+    from pyspark.errors import AnalysisException
+
     routed_parts = []
     for lg in cfg.log_groups:
         try:
             part = spark.read.option("basePath", staging_dir).parquet(
                 os.path.join(staging_dir, "u=*", f"g={lg.name}")
             )
-        except Exception:
-            continue  # group matched nothing anywhere -> no partials
+        except AnalysisException as e:
+            # ONLY path-not-found means "group matched nothing
+            # anywhere"; any other read failure (corrupt footer,
+            # permissions, schema drift) must surface, not silently
+            # drop the whole group's metrics
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                continue
+            raise
+        if committed_units is not None:
+            part = part.filter(F.col("u").isin(*committed_units))
         part = part.drop("u", "g")
         glw = part.agg(F.max("w")).collect()[0][0]
         if glw is None:
@@ -262,7 +264,10 @@ def run_resumable(
     store = LineageStore(os.path.join(work_dir, "lineage"))
     done, computed = run_stage1_units(spark, cfg, pages_path, staging, store, lookups)
     io = TableIO(root=os.path.join(work_dir, "out"))
-    routed = run_stage2_global(spark, cfg, staging, io)
+    committed = {
+        uid for uid, e in store.load().items() if e.get("status") == "done"
+    }
+    routed = run_stage2_global(spark, cfg, staging, io, committed_units=committed)
     return {
         "units_skipped": done,
         "units_computed": computed,

@@ -120,13 +120,17 @@ def run_pipeline_multi(
             groups.append(
                 (lg, lookup_df_to_dict(lookups.get(lg.lookup or "")) if lg.lookup else None)
             )
+    # explicit raises, NOT asserts: these guards protect routing
+    # correctness and must survive python -O / PYTHONOPTIMIZE
     names = [lg.name for lg, _ in groups]
-    assert len(set(names)) == len(names), f"duplicate log group names: {names}"
-    assert all(
+    if len(set(names)) != len(names):
+        raise ValueError(f"run_pipeline_multi: duplicate log group names: {names}")
+    if any(
         (c.settings.push_type, c.settings.push_number)
-        == (cfgs[0].settings.push_type, cfgs[0].settings.push_number)
+        != (cfgs[0].settings.push_type, cfgs[0].settings.push_number)
         for c in cfgs
-    ), "run_pipeline_multi: configs disagree on routing settings"
+    ):
+        raise ValueError("run_pipeline_multi: configs disagree on routing settings")
 
     partials = fused_partials_multi(pages, groups)
     lg_by_group = {lg.name: lg for lg, _ in groups}

@@ -58,6 +58,10 @@ def main():
             sdf = fn(spark, SF_DIR)
             srows = sdf.collect()
             scols = sdf.columns
+            # LSH entries persist their shingle/signature tables for
+            # the duration of the query; don't accumulate 38 entries'
+            # cached blocks across the sweep
+            spark.catalog.clearCache()
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {e}"))
             print(f"[FAIL-spark] {name}: {str(e)[:300]}")

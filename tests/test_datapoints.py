@@ -123,8 +123,14 @@ def test_int_parse_contract_unified(spark):
     from logmetrics_spark.oracle import _int_or_none
     from pyspark.sql import functions as F
 
-    vals = [" 7 ", "1_0", "+42", "-3", "1 0", "abc", "9"]
-    expect = [7, None, 42, -3, None, None, 9]
+    vals = [" 7 ", "1_0", "+42", "-3", "1 0", "abc", "9",
+            "\t42\t", "\u066b\u0665", "\u0665\u0663", "99999999999999999999",
+            "123456789012345678", "\u00a042"]
+    # tab-padded parses (ASCII strip set everywhere); unicode digits,
+    # 20-digit int64 overflow, and NBSP padding fail EVERYWHERE
+    expect = [7, None, 42, -3, None, None, 9,
+              42, None, None, None,
+              123456789012345678, None]
     df = spark.createDataFrame(pd.DataFrame({"v": vals}))
     staged = [r[0] for r in df.select(strict_long(F.col("v"))).collect()]
     assert staged == expect
@@ -179,8 +185,10 @@ def test_float_parse_contract_unified(spark):
     from logmetrics_spark.oracle import _float_or_none
     from pyspark.sql import functions as F
 
-    vals = [" 7.5 ", "1_0", "inf", "-3e2", ".5", "5.", "1 0", "abc"]
-    expect = [7.5, None, None, -300.0, 0.5, 5.0, None, None]
+    vals = [" 7.5 ", "1_0", "inf", "-3e2", ".5", "5.", "1 0", "abc",
+            "\t2.5\n", "\u0665.5"]
+    expect = [7.5, None, None, -300.0, 0.5, 5.0, None, None,
+              2.5, None]
     df = spark.createDataFrame(pd.DataFrame({"v": vals}))
     staged = [r[0] for r in df.select(strict_double(F.col("v"))).collect()]
     assert staged == expect
