@@ -317,7 +317,7 @@ def _crunch_one_key(lg: LogGroup, global_last_w: int, metric_type: str,
     full_scan = lg.send_duplicates
     if full_scan:
         prev_w = None
-        for seg_i, (s0, s1) in enumerate(list(segs) + [(None, None)]):
+        for s0, s1 in list(segs) + [(None, None)]:
             W = int(w[s0]) if s0 is not None else None
             if state is not None and prev_w is not None:
                 gap_to = (W - 1) if W is not None else global_last_w
