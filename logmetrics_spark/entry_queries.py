@@ -850,8 +850,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 def _minhash_sql() -> str:
     mh = ", ".join(
-        f"MIN({MD5_52_SQL.format(x=repr(str(i)+':') + ' || shingle')}) AS mh{i}"
-        for i in range(D.MINHASH_K)
+        f"MIN(({a} * h + {b}) % {D.MH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(D.mh_affine_params(D.MINHASH_K))
     )
     bands = []
     for b in range(D.LSH_BANDS):
@@ -862,7 +862,8 @@ def _minhash_sql() -> str:
     bands_sql = " UNION ALL ".join(bands)
     return f"""
     WITH sh AS ({_SHINGLE_SQL}),
-    sig AS (SELECT id, {mh} FROM sh GROUP BY id),
+    shh AS (SELECT id, {MD5_52_SQL.format(x='shingle')} AS h FROM sh),
+    sig AS (SELECT id, {mh} FROM shh GROUP BY id),
     bands AS ({bands_sql}),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b

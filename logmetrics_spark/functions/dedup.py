@@ -131,14 +131,38 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------ minhash
 
 
+MH_PRIME = 4503599627370517  # smallest prime above 2^52
+
+
+def mh_affine_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
+    """Deterministic affine constants (a_i odd < 2^10, b_i < P) from
+    the engine's md5 convention — pure literals, shared with the
+    DuckDB oracle SQL."""
+    import hashlib
+
+    out = []
+    for i in range(k):
+        a = 2 * (int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:13], 16) % 512) + 1
+        b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:13], 16) % MH_PRIME
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k MinHash values per doc from a prepared (id, shingle) table:
-    mh_i = min over shingles of md5_52(i || ':' || shingle)."""
+    """k MinHash values per doc via ONE base hash + k affine universal
+    hashes: mh_i = min over shingles of (a_i * h + b_i) mod P, with
+    h = md5_52(shingle) and P the smallest prime above 2^52. Since
+    a_i < 2^10 and h < 2^52, a_i*h + b_i < 2^63 — exact int64 on both
+    engines, so the DuckDB oracle replays it bit-for-bit. One md5 per
+    shingle row instead of k: the k-md5 variant measured ~16 us/row
+    inside the aggregation build (k md5+conv evaluations per input
+    row), ~66 CPU-seconds on the sf0.1 corpus."""
+    base = sh.select("id", md5_52(F.col("shingle")).alias("h"))
     aggs = [
-        F.min(md5_52(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(k)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MH_PRIME)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(mh_affine_params(k))
     ]
-    return sh.groupBy("id").agg(*aggs)
+    return base.groupBy("id").agg(*aggs)
 
 
 def minhash_signatures(
@@ -172,7 +196,20 @@ def minhash_lsh_pairs(
     # normalized form (O(docs x shingles/doc)), the canonical thing to
     # materialize at any scale.
     sh = shingles(docs, id_col, text_col, NGRAM_N).persist()
-    sig = minhash_signatures_from_shingles(sh, MINHASH_K)
+    # the signature table feeds all LSH_BANDS band projections AND
+    # both sides of the band self-join: unpersisted, the k-min
+    # aggregation (the most expensive shuffle in this plan) re-runs
+    # 2 x LSH_BANDS times — measured 4x the whole query's cost
+    sig = minhash_signatures_from_shingles(sh, MINHASH_K).persist()
+    # EAGER materialization: the band self-join broadcasts both sides,
+    # and Spark materializes broadcast subqueries on concurrent driver
+    # threads — each thread that arrives before the lazy cache is
+    # populated computes the FULL upstream plan itself (cache
+    # stampede: the signature agg ran ~6x inside one action, 376
+    # CPU-seconds for a 66 CPU-second plan). Two cheap counts pin the
+    # tables before the stampede can start.
+    sh.count()
+    sig.count()
     bands = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
@@ -231,14 +268,18 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(normalized(F.col(text_col))), r"\s+")).alias("tok"),
     ).distinct()
-    h = md5_52(F.col("tok"))
+    # project the base hash ONCE: referencing md5_52(tok) inside all
+    # SIMHASH_BITS aggregate expressions evaluates the md5 per bit per
+    # row (32x the hashing work) — same value, one evaluation
+    hs = toks.select("id", md5_52(F.col("tok")).alias("h"))
+    h = F.col("h")
     aggs = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]
-    per_bit = toks.groupBy("id").agg(*aggs)
+    per_bit = hs.groupBy("id").agg(*aggs)
     sig = None
     for j in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
@@ -322,8 +363,13 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFram
 
 # --- hyperplane-LSH scale path -------------------------------------
 
-EMB_LSH_PLANES = 16
-EMB_LSH_BANDS = 4  # width = PLANES / BANDS = 4 bits per band
+EMB_LSH_PLANES = 32
+EMB_LSH_BANDS = 4  # width = PLANES / BANDS = 8 bits -> 256 buckets/band
+# Band width is THE candidate-volume knob: expected within-bucket pair
+# count per band is n^2 / (2 * 2^width), so 8-bit bands keep the
+# verify join linear-ish at the test corpus sizes while 10^8+-vector
+# corpora should run 16-bit bands (PLANES=64, BANDS=4) — wider bands
+# lower recall per band, recovered by adding bands (1-(1-p^w)^b).
 
 
 def hyperplanes(dim: int, n_planes: int = EMB_LSH_PLANES) -> list[list[float]]:
@@ -402,6 +448,10 @@ def embedding_neardup_lsh(
     # sides, and an unpersisted mapInPandas output would recompute its
     # Python stage twice
     s = with_hyperplane_signature(emb, planes).persist()
+    # eager pin (see minhash_lsh_pairs): the band self-join broadcasts
+    # both sides on concurrent driver threads; an unmaterialized lazy
+    # cache would run the Python signature stage once per thread
+    s.count()
     bands = [
         s.select(
             "vec_id",

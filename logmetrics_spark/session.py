@@ -33,6 +33,12 @@ def get_spark(
         # collapse throughput at high parallelism (measured 5x)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "64g"))
+        # the default 240m JIT code cache fills after ~15-20 distinct
+        # query plans (whole-stage codegen emits classes per plan);
+        # once full the JVM quietly stops compiling and interpreted
+        # HOF/codegen loops run 2-4x slower (measured: same query 7.5s
+        # fresh -> 17.5s after 17 registry queries in one session)
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

@@ -95,13 +95,39 @@ def test_simhash_banding_equals_allpairs(spark):
 
 def test_embedding_lsh_subset_of_exact(spark, emb):
     """LSH pairs are a subset of the exact pairs with identical cos6
-    (precision 1.0), with usable recall at the demo threshold."""
+    (precision 1.0). Recall is asserted on PLANTED near-duplicates:
+    the synthetic corpus's max pairwise cos is ~0.5, far below the
+    near-dup regime the banding is designed for (8-bit bands give
+    p(bit)^8 ~ 0.9^8 per band only when cos -> 1), so natural-pair
+    recall at cos 0.3 is expectedly tiny while clone recall is ~1."""
+    import numpy as np
+
     exact = {(r["id_a"], r["id_b"]): r["cos6"] for r in D.embedding_neardup_pairs(emb, 0.3).collect()}
     lsh = {(r["id_a"], r["id_b"]): r["cos6"] for r in D.embedding_neardup_lsh(emb, 0.3).collect()}
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():
         assert v == exact[k]
-    assert len(lsh) / len(exact) >= 0.25, f"LSH recall too low: {len(lsh)}/{len(exact)}"
+
+    # plant 50 noisy clones (cos >= 0.999) and require recall >= 0.9
+    base = emb.orderBy("vec_id").limit(50).toPandas()
+    rng = np.random.default_rng(7)
+    clones = base.copy()
+    clones["vec_id"] = clones["vec_id"] + 100_000
+    clones["embedding"] = [
+        (np.asarray(v, dtype=np.float32) + rng.normal(0, 0.01, len(v)).astype(np.float32)).tolist()
+        for v in base["embedding"]
+    ]
+    import pandas as _pd
+
+    planted = emb.unionByName(
+        emb.sparkSession.createDataFrame(_pd.concat([base, clones]), schema=emb.schema)
+    )
+    pairs = D.embedding_neardup_lsh(planted, 0.95)
+    found = {
+        (r["id_a"], r["id_b"]) for r in pairs.collect()
+        if r["id_b"] == r["id_a"] + 100_000
+    }
+    assert len(found) >= 45, f"clone recall too low: {len(found)}/50"
 
 
 def test_shingles_short_doc_guard(spark):
