@@ -32,7 +32,10 @@ from pyspark.sql import functions as F
 MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = 4  # MINHASH_K = LSH_BANDS * LSH_ROWS
-SIMHASH_BITS = 32
+SIMHASH_BITS = 52  # md5_52 supplies 52 independent bits; at 4 pigeon-
+# hole bands (max_hamming=3) that is 13-bit bands = 8192 buckets/band,
+# vs 256 at 32 bits — within-bucket pair volume (n^2/2^width per band)
+# is what decides whether the EXACT band join survives large n
 NGRAM_N = 3
 
 
