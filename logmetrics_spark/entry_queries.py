@@ -1283,3 +1283,51 @@ def q_json_props_extract(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# =====================================================================
+# multimodal — binary media columns (decode metadata; fake codec)
+# =====================================================================
+
+_MM_SQL = """
+    WITH m AS (SELECT doc_id AS media_id FROM documents),
+    bytes AS (
+      SELECT media_id,
+             CAST(('0x' || substr(md5(media_id || ':' || i), 2*j+1, 2)) AS BIGINT) AS b
+      FROM m, generate_series(0, 8) s(i), generate_series(0, 15) t(j)
+      WHERE i*16 + j < 144
+    )
+    SELECT media_id, 8 AS width, 6 AS height, 3 AS channels,
+           AVG(b) AS mean_pixel, CAST(154 AS BIGINT) AS n_bytes
+    FROM bytes GROUP BY media_id ORDER BY media_id
+    """
+
+
+@q("multimodal_decode", _MM_SQL)
+def q_multimodal_decode(spark, sf_dir):
+    """Binary media decode -> typed metadata (functions/multimodal.py):
+    payloads are the deterministic LMIMG fake format (8x6x3, pixels
+    from the md5 byte stream), so the DuckDB oracle reconstructs the
+    exact pixel bytes by hex-slicing the same md5 stream and replays
+    width/height/channels/mean_pixel/n_bytes value-exact. The Spark
+    side exercises the REAL plumbing a codec-backed deployment uses:
+    binary column -> Arrow batch -> per-payload decode -> typed rows."""
+    import pandas as _pd
+
+    from .functions import multimodal as M
+
+    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def gen(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [M.fake_payload(int(m)) for m in pdf["media_id"]],
+                }
+            )
+
+    media = ids.mapInPandas(gen, "media_id long, payload binary")
+    return M.decode_stage(media).orderBy("media_id")
