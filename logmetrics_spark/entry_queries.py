@@ -1294,8 +1294,9 @@ _MM_SQL = """
     bytes AS (
       SELECT media_id,
              CAST(('0x' || substr(md5(media_id || ':' || i), 2*j+1, 2)) AS BIGINT) AS b
+      -- inclusive bounds: 9 digests x 16 bytes = exactly the 144
+      -- (8*6*3) pixel bytes fake_payload emits
       FROM m, generate_series(0, 8) s(i), generate_series(0, 15) t(j)
-      WHERE i*16 + j < 144
     )
     SELECT media_id, 8 AS width, 6 AS height, 3 AS channels,
            AVG(b) AS mean_pixel, CAST(154 AS BIGINT) AS n_bytes

@@ -191,7 +191,13 @@ def minhash_lsh_pairs(
     side, O(|candidates| x shingles-per-doc), NOT the all-pairs
     shingle self-join. The result is a *subset* of
     ngram_jaccard_pairs — recall < 1 by construction, the
-    scale/accuracy trade of LSH. Returns (id_a, id_b, jaccard6)."""
+    scale/accuracy trade of LSH. Returns (id_a, id_b, jaccard6).
+
+    NOTE: this builder MATERIALIZES its internal shingle + signature
+    tables when called (see the eager-pin comment below), and the
+    pinned tables live until ``spark.catalog.clearCache()`` / session
+    end (storage is LRU-evictable, so long sessions degrade to
+    recompute, not OOM). Call it when you intend to execute."""
     # the shingle table feeds FOUR consumers (signatures, both sides
     # of the candidate-pair intersection, sizes); without persist each
     # reuse re-runs the explode+distinct shuffle from the raw docs —
@@ -444,7 +450,9 @@ def embedding_neardup_lsh(
     construction (probabilistic banding — widen bands/add planes to
     trade candidate volume for recall at scale); precision 1.0. The
     deterministic planes make the whole computation reproducible in
-    ANSI SQL. Returns (id_a, id_b, cos6)."""
+    ANSI SQL. Returns (id_a, id_b, cos6). Like minhash_lsh_pairs,
+    calling this MATERIALIZES the signature table (eager cache pin;
+    LRU-evictable, cleared by clearCache/session end)."""
     planes = hyperplanes(dim, n_planes)
     width = n_planes // n_bands
     # persist: the band self-join consumes the signature table on both

@@ -10,10 +10,11 @@ Usage: python scripts/dedup_scale_probe.py [sizes...]  (default 50k 100k 200k)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 

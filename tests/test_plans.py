@@ -120,7 +120,7 @@ def test_embedding_lsh_subset_of_exact(spark, emb):
     import pandas as _pd
 
     planted = emb.unionByName(
-        emb.sparkSession.createDataFrame(_pd.concat([base, clones]), schema=emb.schema)
+        emb.sparkSession.createDataFrame(clones, schema=emb.schema)
     )
     pairs = D.embedding_neardup_lsh(planted, 0.95)
     found = {

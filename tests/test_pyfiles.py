@@ -33,7 +33,12 @@ assert len(mh_affine_params(4)) == 4
 print("ZIP-OK", len(cfg.log_groups))
 """
     env = dict(os.environ)
-    env["PYTHONPATH"] = zpath  # the zip is the ONLY source of the package
+    # the zip is the only source of THIS package, but keep any
+    # inherited entries (pyspark may be supplied via PYTHONPATH on
+    # SPARK_HOME-tarball setups)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [zpath] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
