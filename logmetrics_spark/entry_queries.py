@@ -1332,3 +1332,76 @@ def q_multimodal_decode(spark, sf_dir):
 
     media = ids.mapInPandas(gen, "media_id long, payload binary")
     return M.decode_stage(media).orderBy("media_id")
+
+
+# =====================================================================
+# sessionization — gaps-and-islands over the event stream
+# =====================================================================
+
+_SESS_GAP_US = 1800 * 1_000_000  # 30-minute inactivity gap
+
+_SESS_SQL = f"""
+    WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+    flagged AS (
+      SELECT user_id, event_id, tus,
+             CASE WHEN LAG(tus) OVER w IS NULL
+                       OR tus - LAG(tus) OVER w > {_SESS_GAP_US}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    ),
+    sess AS (
+      SELECT user_id, tus,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(tus) AS start_us,
+           MAX(tus) AS end_us,
+           MAX(tus) - MIN(tus) AS duration_us
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """
+
+
+@q("sessionize", _SESS_SQL)
+def q_sessionize(spark, sf_dir):
+    """Per-user sessionization (30-min inactivity gap), the classic
+    gaps-and-islands the reference's per-key staleness logic hints at
+    but a telemetry engine needs as a first-class query. All time math
+    in exact microsecond longs (no float boundary risk vs the oracle).
+
+    Scale shape: one shuffle on user_id + a per-user sort window — the
+    state per user is bounded by that user's events, so AQE skew-join/
+    salting handles hot users; no global sort, no collect."""
+    e = _t(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC by _t(), so the
+    # cast is exact and matches DuckDB epoch_us on the naive timestamp
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    # two window passes over the SAME (user_id; tus, event_id) spec —
+    # lag and the cumulative sum cannot nest in one projection, but
+    # Catalyst plans them in a single sort+shuffle (one Window node
+    # chain, no second exchange)
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.select("user_id", "event_id", tus.alias("tus")).withColumn(
+        "gap", F.col("tus") - F.lag("tus").over(w)
+    )
+    new_sess = F.when(F.col("gap").isNull() | (F.col("gap") > _SESS_GAP_US), 1).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = flagged.select(
+        "user_id",
+        "tus",
+        F.sum(new_sess).over(cum).alias("session_id"),
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("tus").alias("start_us"),
+            F.max("tus").alias("end_us"),
+            (F.max("tus") - F.min("tus")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_id")
+    )
