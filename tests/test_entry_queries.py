@@ -25,6 +25,8 @@ SAMPLE = [
     "dedup_minhash_lsh",
     "embed_neardup",
     "ann_cosine_topk",
+    "multimodal_decode",
+    "sessionize",
 ]
 
 
