@@ -69,6 +69,11 @@ def _spark(cores: int):
         shuffle_partitions=cores,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
+            # knob for batch-size experiments (default inherited from
+            # session.py: 8192, tuned for local[32] memory pressure)
+            "spark.sql.execution.arrow.maxRecordsPerBatch": os.environ.get(
+                "BENCH_ARROW_BATCH", "8192"
+            ),
             # re-launch straggling tasks: this VM's hypervisor steals
             # CPU in bursts and a single stalled task serializes a stage
             "spark.speculation": "true",
