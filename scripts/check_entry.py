@@ -59,7 +59,7 @@ def main():
             srows = sdf.collect()
             scols = sdf.columns
             # LSH entries persist their shingle/signature tables for
-            # the duration of the query; don't accumulate 38 entries'
+            # the duration of the query; don't accumulate all entries'
             # cached blocks across the sweep
             spark.catalog.clearCache()
         except Exception as e:

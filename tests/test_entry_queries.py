@@ -1,6 +1,6 @@
 """Driver-contract gate inside pytest: a representative sample of
 queries()/oracle_sql() pairs validated against DuckDB at sf0.001
-(the full 31-pair sweep runs via scripts/check_entry.py)."""
+(the full 40-pair sweep runs via scripts/check_entry.py)."""
 
 import math
 
