@@ -165,13 +165,19 @@ def minhash_signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataF
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MH_PRIME)).alias(f"mh{i}")
         for i, (a, b) in enumerate(mh_affine_params(k))
     ]
+    # sz (distinct-shingle count) rides along in the SAME groupBy —
+    # the Jaccard denominator needs it and a separate sizes
+    # aggregation would re-shuffle the shingle table for a value this
+    # pass already sees
+    aggs.append(F.count(F.lit(1)).alias("sz"))
     return base.groupBy("id").agg(*aggs)
 
 
 def minhash_signatures(
     docs: DataFrame, k: int = MINHASH_K, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """k MinHash values per doc. Columns: id, mh0..mh{k-1}."""
+    """k MinHash values per doc. Columns: id, mh0..mh{k-1}, sz
+    (distinct-shingle count, the Jaccard denominator input)."""
     return minhash_signatures_from_shingles(shingles(docs, id_col, text_col), k)
 
 
@@ -252,7 +258,9 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    # sizes come from the persisted signature table (sz computed in
+    # the same groupBy as the minhashes) — no extra shuffle of sh
+    sizes = sig.select("id", "sz")
     return (
         inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
         .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
