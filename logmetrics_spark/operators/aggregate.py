@@ -103,11 +103,15 @@ def local_reduce_frame(pdf: pd.DataFrame, lg: LogGroup) -> pd.DataFrame | None:
     if len(hist):
         u = np_uniform_from_hash52(hist["h52"].to_numpy())
         hist = hist.assign(pri=np_priorities(hist["ts_sec"].to_numpy(), u, alpha))
-        grp = hist.groupby(["key_id", "w"], sort=False)
+        # group rides in the reservoir keys: the crunch segments state
+        # on (group, key_id) for exactly this collision, and a future
+        # multi-group caller of this shared reducer must not merge two
+        # groups' reservoirs through a shared key_id
+        grp = hist.groupby(["group", "key_id", "w"], sort=False)
         hist = hist.assign(grp_max_ts=grp["ts_sec"].transform("max"))
         kept = (
             hist.sort_values(["pri", "record_id"], ascending=False)
-            .groupby(["key_id", "w"], sort=False)
+            .groupby(["group", "key_id", "w"], sort=False)
             .head(size)
         )
         frames.append(
@@ -187,7 +191,9 @@ def _new_state(metric_type: str, lg: LogGroup):
         return CounterState()
     if metric_type == "meter":
         return MeterState(tick_seconds=lg.ewma_interval)
-    return HistogramState(size=lg.histogram_size, alpha=lg.histogram_alpha_decay)
+    if metric_type == "histogram":
+        return HistogramState(size=lg.histogram_size, alpha=lg.histogram_alpha_decay)
+    raise ValueError(f"unknown metric_type: {metric_type!r}")
 
 
 def _np_format_values(vals):
@@ -235,6 +241,13 @@ def _gap_emit(lg: LogGroup, metric_type: str, never_stale: bool, state,
                 emit(B, dup_ts, state.snapshot(), True, False)
         return state, dup_ts
 
+    # ULP note: this bulk path computes each window's meter rate as
+    # r1 * (1-a)^(ticks_i - c0 - 1) — ONE pow from the completed state
+    # — while the oracle (and the scalar branch above) chain per-window
+    # _advance_to_tick jumps. The chains agree to ~1e-15 relative but
+    # are not bitwise identical; the %.4f line rendering absorbs the
+    # difference except when a rate sits within ~1 ulp of a 0.00005
+    # rounding boundary (~1e-11 per emission — accepted, documented).
     bs = (_np.arange(w_from, w_to + 1, dtype=_np.int64) + 1) * interval
     cut = len(bs)
     zero_b = None
@@ -404,7 +417,7 @@ def _crunch_one_key(lg: LogGroup, global_last_w: int, metric_type: str,
             emit(b_star, b_star, state.snapshot(), False, True)
 
 
-_META = ["key_id", "group", "metric_type", "key_prefix", "key_suffix", "tags", "ref_tag"]
+_META = list(KEY_COLS)  # single source of truth for emission metadata order
 _OUT_COLS = _META + ["boundary", "ending", "ts", "value_num", "value_str", "is_dup", "is_zero"]
 
 
@@ -553,6 +566,24 @@ def make_multi_crunch_mapper(
     return mapper
 
 
+def _null_safe_partials(partials: DataFrame) -> DataFrame:
+    """Coalesce the metric-type-dependent nullable long columns to 0.
+
+    Arrow->pandas converts a long column WITH nulls to float64 inside
+    ``mapInPandas``, silently rounding integers above 2^53 — and the
+    parse contract admits 18-digit values (contracts.INT_RE), so a
+    17-digit counter sum sharing a partition batch with histogram rows
+    (whose psum is null) would corrupt (verified: 10000000000000001
+    arrives as 1e16). The crunch dispatches on ``metric_type``, never
+    on null-ness, so zero-filling is semantics-free; with no nulls the
+    columns cross Arrow as exact int64."""
+    return (
+        partials.withColumn("psum", F.coalesce("psum", F.lit(0).cast("long")))
+        .withColumn("rid", F.coalesce("rid", F.lit(0).cast("long")))
+        .withColumn("val", F.coalesce("val", F.lit(0).cast("long")))
+    )
+
+
 def crunch_emissions(
     partials: DataFrame, lg: LogGroup, global_last_w: int, num_partitions: int | None = None
 ) -> DataFrame:
@@ -566,7 +597,7 @@ def crunch_emissions(
     — measured 24s -> 16s at 8 cores from this alone)."""
     spark = partials.sparkSession
     n = num_partitions or 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
-    rep = partials.repartition(n, "group", "key_id").sortWithinPartitions(
+    rep = _null_safe_partials(partials).repartition(n, "group", "key_id").sortWithinPartitions(
         "group", "key_id", "w", "t", "rid"
     )
     return rep.mapInPandas(make_crunch_mapper(lg, global_last_w), schema=EMISSION_SCHEMA)
@@ -582,7 +613,7 @@ def crunch_emissions_multi(
     every log group together (see make_multi_crunch_mapper)."""
     spark = partials.sparkSession
     n = num_partitions or 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
-    rep = partials.repartition(n, "group", "key_id").sortWithinPartitions(
+    rep = _null_safe_partials(partials).repartition(n, "group", "key_id").sortWithinPartitions(
         "group", "key_id", "w", "t", "rid"
     )
     return rep.mapInPandas(
@@ -617,6 +648,7 @@ def aggregate_stage(
         partials = partials.persist()
         row = partials.agg(F.max("w").alias("mw")).collect()[0]
         if row["mw"] is None:
+            partials.unpersist()
             return partials.sparkSession.createDataFrame([], EMISSION_SCHEMA)
         global_last_w = int(row["mw"])
     return crunch_emissions(partials, lg, global_last_w)

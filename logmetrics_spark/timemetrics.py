@@ -258,7 +258,6 @@ class HistogramState:
     landmark: float = 0.0
     last_update: float = -1.0
     _res: list[tuple[float, int, int]] = field(default_factory=list)
-    _zeroed: bool = False
 
     def update(self, ts: float, value: int, key: str, record_id: int) -> None:
         u = det_uniform(key, record_id)
@@ -267,7 +266,6 @@ class HistogramState:
 
     def offer(self, pri: float, record_id: int, value: int, ts: float) -> None:
         """Insert a pre-computed candidate (Spark partial path)."""
-        self._zeroed = False
         item = (pri, record_id, value)
         if len(self._res) < self.size:
             self._res.append(item)
@@ -280,7 +278,6 @@ class HistogramState:
 
     def merge_candidates(self, candidates: list[tuple[float, int, int]], max_ts: float) -> None:
         """Fold a per-window top-s candidate list (associative merge)."""
-        self._zeroed = False
         self._res = sorted(self._res + list(candidates))[-self.size :]
         if max_ts > self.last_update:
             self.last_update = max_ts
@@ -290,7 +287,6 @@ class HistogramState:
 
     def zero_out(self) -> None:
         self._res = []
-        self._zeroed = True
 
     def snapshot(self) -> dict[str, int | float]:
         n = len(self._res)
@@ -305,6 +301,15 @@ class HistogramState:
         values = np.sort(np.fromiter((v for _, _, v in self._res), dtype="int64", count=n))
         mean = float(values.sum()) / n
         if n > 1:
+            # Bessel-corrected (n-1) sample variance. NOTE: upstream
+            # go-metrics' SampleVariance divides by n (population);
+            # whether mathpl's go-timemetrics fork kept that cannot be
+            # verified offline — engine, Python oracle, and the
+            # hist_moments DuckDB SQL all share THIS (n-1) contract,
+            # so the internal gates are unaffected either way. If the
+            # fork uses /n, this is a deliberate spec difference in
+            # std_dev only (document-level, like the CompatFlags
+            # quirks).
             d = values - values.sum() / n
             var = float((d * d).sum()) / (n - 1)
         else:

@@ -195,3 +195,35 @@ def test_float_parse_contract_unified(spark):
     fused = _strict_float(pd.Series(vals))
     assert [None if pd.isna(x) else float(x) for x in fused] == expect
     assert [_float_or_none(v) for v in vals] == expect
+
+
+def test_crunch_exact_above_2_53_with_mixed_metric_types(spark):
+    """Arrow->pandas turns a nullable long column into float64 inside
+    mapInPandas, rounding ints above 2^53 — a 17-digit counter sum
+    sharing a partition batch with histogram rows (null psum) was
+    corrupted (10000000000000001 -> 1e16) before the crunch zero-filled
+    the type-dependent nullable columns. The parse contract admits
+    18-digit ints, so this must stay exact end to end."""
+    import dataclasses
+
+    from logmetrics_spark.config import load_config
+    from logmetrics_spark.operators.aggregate import (
+        EMISSION_SCHEMA,
+        PARTIAL_SCHEMA,
+        crunch_emissions,
+    )
+
+    big = 10_000_000_000_000_001  # 17 digits, > 2^53
+    lg = load_config("/root/repo/configs/rest_api.toml").log_groups[0]
+    lg = dataclasses.replace(lg, send_duplicates=False, stale_removal=False)
+    rows = [
+        # counter partial with the big sum
+        ("k_cnt", lg.name, "counter", "p", "s", "", "", False, 100, 0, big, 1500, None, None, None),
+        # histogram partial in the same (group-hashed) batch -> null psum column
+        ("k_hist", lg.name, "histogram", "p", "h", "", "", False, 100, 0, None, 1500, 0.5, 7, 42),
+    ]
+    partials = spark.createDataFrame(rows, PARTIAL_SCHEMA)
+    out = crunch_emissions(partials, lg, 100, num_partitions=1)
+    assert out.schema.simpleString() == spark.createDataFrame([], EMISSION_SCHEMA).schema.simpleString()
+    got = {r["key_id"]: r["value_str"] for r in out.collect() if r["ending"] == "count"}
+    assert got["k_cnt"] == str(big), got
