@@ -101,7 +101,7 @@ def main() -> None:
             manifest = write_routed(res.routed, io)
             routed_back = io.read(spark, "routed")
             io.write(pusher_stats(routed_back), "stats_pusher", manifest_extra={"kind": "stats"})
-            io.write(pool_stats(res.emissions, cfg.log_groups[0]), "stats_pool",
+            io.write(pool_stats(res.emissions), "stats_pool",
                      manifest_extra={"kind": "stats"})
             print({"routed_manifest": manifest.get("snapshot_id")})
     spark.stop()

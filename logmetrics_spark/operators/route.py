@@ -19,11 +19,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..config import LogGroup, Settings
+from ..config import Settings
 from ..sources.tableio import TableIO
 from .datapoints import md5_52bit
 
-ROUTED_COLS = ("metric", "ts", "value", "tags", "line", "sink", "is_dup", "is_zero")
+# full routed-row contract (route_stage's output, in order): the last
+# three columns feed the internal pool stats, not the sink line
+ROUTED_COLS = (
+    "metric", "ts", "value", "tags", "line", "sink",
+    "is_dup", "is_zero", "group", "key_id", "boundary",
+)
 
 
 def route_stage(emissions: DataFrame, settings: Settings) -> DataFrame:
@@ -56,7 +61,7 @@ def route_stage(emissions: DataFrame, settings: Settings) -> DataFrame:
     )
 
 
-def pool_stats(emissions: DataFrame, lg: LogGroup) -> DataFrame:
+def pool_stats(emissions: DataFrame) -> DataFrame:
     """Internal data_pool stats per (group, boundary):
     ``key_tracked`` = live keys at the boundary, ``key_staled`` =
     cumulative endings zeroed-out so far (``datapool.go:217-223``)."""

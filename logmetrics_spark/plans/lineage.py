@@ -34,22 +34,36 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..config import LogGroup, PipelineConfig
-from ..operators.aggregate import crunch_emissions
+from ..config import PipelineConfig
 from ..operators.route import route_stage
 from ..sources.tableio import TableIO
 
 
+_SCHEME_RE = r"^[a-zA-Z0-9+.\-]+:/+"
+
+
 def _unit_id(path: str) -> str:
-    # hash the BASENAME: stable across URI-scheme spellings
-    # (inputFiles() vs input_file_name() may differ in file:/ prefix;
-    # part-file basenames are unique within a parquet table)
-    return hashlib.md5(os.path.basename(path).encode()).hexdigest()[:16]
+    # hash the scheme-normalized FULL path ("file:///x" / "file:/x" /
+    # "/x" all -> "/x"): basenames are NOT unique across the partition
+    # directories of one parquet table (Spark reuses part-file names
+    # per task across partition dirs), and a basename collision would
+    # silently mark an unprocessed file "done" on resume
+    return hashlib.md5(re.sub(_SCHEME_RE, "/", path).encode()).hexdigest()[:16]
+
+
+def _cfg_fingerprint(cfg: PipelineConfig) -> str:
+    """Stable fingerprint of the full pipeline spec (frozen dataclass
+    reprs are deterministic). A lineage entry committed under a
+    different config must NOT satisfy resume: a new/edited log group
+    would otherwise silently contribute nothing (its partials were
+    never computed) while the run reports success."""
+    return hashlib.md5(repr((cfg.settings, cfg.log_groups)).encode()).hexdigest()[:12]
 
 
 @dataclass
@@ -122,9 +136,13 @@ def run_stage1_units(
     lookups = lookups or {}
     units = plan_units(spark, pages_path)
     state = store.load()
+    fp = _cfg_fingerprint(cfg)
     pending = [
         p for p in units
-        if not (state.get(_unit_id(p), {}).get("status") == "done")
+        if not (
+            state.get(_unit_id(p), {}).get("status") == "done"
+            and state.get(_unit_id(p), {}).get("cfg_fp") == fp
+        )
     ]
     done = len(units) - len(pending)
     if not pending:
@@ -146,7 +164,7 @@ def run_stage1_units(
     pages = spark.read.schema(PAGES_SCHEMA_DDL).parquet(*pending).withColumn(
         "u",
         F.substring(
-            F.md5(F.element_at(F.split(F.input_file_name(), "/"), -1)), 1, 16
+            F.md5(F.regexp_replace(F.input_file_name(), _SCHEME_RE, "/")), 1, 16
         ),
     ).select("u", *PAGES_BASE_COLS)
     pages = with_group_url_masks(pages, groups)
@@ -204,7 +222,8 @@ def run_stage1_units(
         s = stats.get(uid, {"rows": 0, "checksum": 0})
         store.commit(
             uid,
-            {"status": "done", "path": path, "rows": s["rows"], "checksum": s["checksum"]},
+            {"status": "done", "path": path, "rows": s["rows"],
+             "checksum": s["checksum"], "cfg_fp": fp},
         )
     return done, len(pending)
 
@@ -219,34 +238,52 @@ def run_stage2_global(
     """Global crunch + route over unit partials (idempotent). When
     ``committed_units`` is given, ONLY those units' partitions are
     read — stale partitions from crashed runs or a pre-migration unit
-    id scheme must never be double-counted into the routed output."""
+    id scheme must never be double-counted into the routed output.
+
+    ONE schema'd read of the whole staging tree + ONE max-w action +
+    ONE mixed-group crunch (crunch_emissions_multi) for all groups —
+    the v1 per-group loop issued a schema-inference read plus a
+    driver-blocking collect per group, the same serial-round-trip
+    shape stage 1 was redesigned to avoid. An empty staging tree (no
+    group matched anything) returns an empty routed table instead of
+    crashing."""
     from pyspark.errors import AnalysisException
 
-    routed_parts = []
-    for lg in cfg.log_groups:
-        try:
-            part = spark.read.option("basePath", staging_dir).parquet(
-                os.path.join(staging_dir, "u=*", f"g={lg.name}")
-            )
-        except AnalysisException as e:
-            # ONLY path-not-found means "group matched nothing
-            # anywhere"; any other read failure (corrupt footer,
-            # permissions, schema drift) must surface, not silently
-            # drop the whole group's metrics
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
-                continue
+    from ..operators.aggregate import EMISSION_SCHEMA, PARTIAL_SCHEMA, crunch_emissions_multi
+
+    lg_by_group = {lg.name: lg for lg in cfg.log_groups}
+    routed = None
+    part = None
+    try:
+        part = spark.read.schema(PARTIAL_SCHEMA + ", u string, g string").parquet(
+            staging_dir
+        )
+    except AnalysisException as e:
+        # ONLY path-not-found means "nothing staged yet"; any other
+        # read failure (corrupt footer, permissions, schema drift)
+        # must surface, not silently produce an empty routed table
+        if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
             raise
+    if part is not None:
         if committed_units is not None:
-            part = part.filter(F.col("u").isin(*committed_units))
-        part = part.drop("u", "g")
-        glw = part.agg(F.max("w")).collect()[0][0]
-        if glw is None:
-            continue
-        emissions = crunch_emissions(part, lg, int(glw))
-        routed_parts.append(route_stage(emissions, cfg.settings))
-    routed = routed_parts[0]
-    for p in routed_parts[1:]:
-        routed = routed.unionByName(p)
+            part = (
+                part.filter(F.col("u").isin(*committed_units))
+                if committed_units
+                else part.filter(F.lit(False))
+            )
+        part = part.filter(F.col("group").isin(list(lg_by_group))).drop("u", "g")
+        rows = part.groupBy("group").agg(F.max("w").alias("mw")).collect()
+        last_w = {r["group"]: int(r["mw"]) for r in rows if r["mw"] is not None}
+        if last_w:
+            sub = part.filter(F.col("group").isin(list(last_w)))
+            emissions = crunch_emissions_multi(
+                sub, {g: lg_by_group[g] for g in last_w}, last_w
+            )
+            routed = route_stage(emissions, cfg.settings)
+    if routed is None:
+        routed = route_stage(
+            spark.createDataFrame([], EMISSION_SCHEMA), cfg.settings
+        )
     io.write(routed, "routed", mode="overwrite", partition_by=("sink",),
              manifest_extra={"kind": "routed_sink", "resumable": True})
     return routed
@@ -264,13 +301,21 @@ def run_resumable(
     store = LineageStore(os.path.join(work_dir, "lineage"))
     done, computed = run_stage1_units(spark, cfg, pages_path, staging, store, lookups)
     io = TableIO(root=os.path.join(work_dir, "out"))
+    fp = _cfg_fingerprint(cfg)
     committed = {
-        uid for uid, e in store.load().items() if e.get("status") == "done"
+        uid
+        for uid, e in store.load().items()
+        if e.get("status") == "done" and e.get("cfg_fp") == fp
     }
     routed = run_stage2_global(spark, cfg, staging, io, committed_units=committed)
+    # count the WRITTEN table (metadata-cheap), not the lazy plan —
+    # counting `routed` would re-run the whole crunch+route DAG
+    n = spark.read.schema(routed.schema).parquet(
+        os.path.join(work_dir, "out", "routed")
+    ).count()
     return {
         "units_skipped": done,
         "units_computed": computed,
-        "routed_rows": routed.count(),
+        "routed_rows": n,
         "out": os.path.join(work_dir, "out"),
     }

@@ -189,7 +189,7 @@ def run_pipeline(
         for lg in cfg.log_groups:
             pass  # pool stats computed over the union below
         io.write(
-            pool_stats(all_emissions, cfg.log_groups[0]),
+            pool_stats(all_emissions),
             "stats_pool",
             manifest_extra={"kind": "stats"},
         )

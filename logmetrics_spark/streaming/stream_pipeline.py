@@ -95,11 +95,8 @@ def streaming_meters(dp: DataFrame, lg: LogGroup, watermark: str = "2 minutes") 
     """Custom stateful operator: live per-key Meter (count + EWMA
     1/5/15min of log time) via applyInPandasWithState, event-time
     timeout evicts stale keys (``stale_treshold_min``)."""
-    import math
 
     tick = lg.ewma_interval
-    minutes = (1.0, 5.0, 15.0)
-    alphas = [1.0 - math.exp(-tick / 60.0 / m) for m in minutes]
     stale_ms = lg.stale_treshold_min * 60 * 1000
 
     def update(key, pdfs, state: GroupState):
@@ -131,27 +128,27 @@ def streaming_meters(dp: DataFrame, lg: LogGroup, watermark: str = "2 minutes") 
             last_update = -1.0
         rates = [r1, r5, r15]
 
+        # rebuild the SHARED MeterState from the state tuple: one EWMA
+        # implementation across batch crunch, oracle, and streaming
+        # (the previous inline loop advanced empty ticks one at a time
+        # — O(gap) python iterations when a key reappears after a long
+        # quiet spell — and risked drifting from the batch math)
+        from ..timemetrics import MeterState
+
+        ms = MeterState(
+            tick_seconds=tick, count=count, last_update=last_update,
+            _pending=pending, _cur_tick=cur_tick, _rates=rates,
+            _initialized=initialized,
+        )
         rows = []
         for pdf in pdfs:
             rows.append(pdf[["ts_sec", "value"]])
         if rows:
             data = pd.concat(rows).sort_values("ts_sec")
             for ts, v in zip(data["ts_sec"].to_numpy(), data["value"].to_numpy()):
-                t = int(ts // tick)
-                if cur_tick < 0:
-                    cur_tick = t
-                while cur_tick < t:
-                    instant = pending / float(tick)
-                    if not initialized:
-                        rates = [instant] * 3
-                        initialized = True
-                    else:
-                        rates = [r + a * (instant - r) for r, a in zip(rates, alphas)]
-                    pending = 0
-                    cur_tick += 1
-                pending += int(v)
-                count += int(v)
-                last_update = max(last_update, float(ts))
+                ms.update(float(ts), int(v))
+        count, cur_tick, pending = ms.count, ms._cur_tick, ms._pending
+        rates, initialized, last_update = ms._rates, ms._initialized, ms.last_update
 
         state.update((count, cur_tick, pending, rates[0], rates[1], rates[2], initialized, last_update))
         state.setTimeoutTimestamp(int(last_update * 1000) + stale_ms)
@@ -311,7 +308,6 @@ def run_streaming_routed(
     interval trigger, here a periodic batch job)."""
     import os
 
-    from ..operators.aggregate import PARTIAL_SCHEMA
     from ..operators.fused import fused_partials_multi
     from ..plans.pipeline import lookup_df_to_dict
 
@@ -367,6 +363,7 @@ def finalize_streaming_routed(spark: SparkSession, cfg, out_dir: str) -> DataFra
         rows = partials.groupBy("group").agg(F.max("w").alias("mw")).collect()
         last_w = {r["group"]: int(r["mw"]) for r in rows if r["mw"] is not None}
         if not last_w:
+            partials.unpersist()
             return None
     else:
         last_w = {n: -1 for n in lg_by_group}
@@ -377,6 +374,10 @@ def finalize_streaming_routed(spark: SparkSession, cfg, out_dir: str) -> DataFra
         .partitionBy("sink")
         .parquet(os.path.join(out_dir, "routed"))
     )
+    # the write materialized everything this DataFrame will be used
+    # for; on a periodic finalize cadence an un-released cache per
+    # cycle accumulates without bound
+    partials.unpersist()
     return routed
 
 

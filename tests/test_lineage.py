@@ -100,3 +100,37 @@ def test_stage1_batches_all_units_in_two_jobs(spark, apache_cfg, tmp_path):
     state = store.load()
     assert len(state) == 12
     assert all(e["status"] == "done" for e in state.values())
+
+
+def test_config_change_invalidates_resume(spark, apache_cfg, rest_cfg, pages_dir):
+    """A lineage entry committed under a different pipeline config must
+    not satisfy resume: without the fingerprint check, adding/editing a
+    log group after a completed run silently contributed nothing."""
+    import dataclasses
+
+    work = f"{pages_dir['base']}/work_fp"
+    r1 = run_resumable(spark, apache_cfg, pages_dir["path"], work)
+    assert r1["units_computed"] == 4
+    # same config -> full skip
+    r2 = run_resumable(spark, apache_cfg, pages_dir["path"], work)
+    assert r2["units_computed"] == 0
+    # changed config (different interval) -> everything recomputes
+    lgs = tuple(dataclasses.replace(lg, interval=300) for lg in apache_cfg.log_groups)
+    changed = dataclasses.replace(apache_cfg, log_groups=lgs)
+    r3 = run_resumable(spark, changed, pages_dir["path"], work)
+    assert r3["units_computed"] == 4 and r3["units_skipped"] == 0
+
+
+def test_unit_ids_distinct_across_partition_dirs(tmp_path):
+    """Same part-file basename under different partition directories
+    must hash to different unit ids (basenames are NOT unique within a
+    partitioned parquet table)."""
+    from logmetrics_spark.plans.lineage import _unit_id
+
+    a = _unit_id("file:///data/pages/date=1/part-00000-abc.parquet")
+    b = _unit_id("file:///data/pages/date=2/part-00000-abc.parquet")
+    assert a != b
+    # scheme spellings normalize to the same id
+    assert _unit_id("file:/data/x/part-0.parquet") == _unit_id(
+        "file:///data/x/part-0.parquet"
+    ) == _unit_id("/data/x/part-0.parquet")
