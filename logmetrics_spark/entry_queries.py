@@ -623,10 +623,11 @@ def q_star_join_counts(spark, sf_dir):
 # training-data pipeline extras (documents / embeddings)
 # =====================================================================
 
-_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_WSN_SQL = "trim(regexp_replace(text, '\\s+', ' ', 'g'))"
 _TOKC_SQL = (
-    "CASE WHEN length(trim(text)) = 0 THEN 0 "
-    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    f"CASE WHEN length({_WSN_SQL}) = 0 THEN 0 "
+    f"ELSE len(string_split({_WSN_SQL}, ' ')) END"
 )
 
 
@@ -634,7 +635,7 @@ def _occ_sql(x: str, pat: str) -> str:
     return f"(length({x}) - length(regexp_replace({x}, '{pat}', '', 'g')))"
 
 
-_TOKS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+_TOKS_SQL = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
 
 def _word_hits_sql(words: list[str]) -> str:
@@ -926,12 +927,12 @@ def q_dedup_simhash(spark, sf_dir):
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cos6
+                 / NULLIF(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 6) AS cos6
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) >= 0.30
+                 / NULLIF(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 6) >= 0.30
     """,
 )
 def q_embed_neardup(spark, sf_dir):
@@ -961,8 +962,8 @@ def _emb_lsh_sql(threshold: float = 0.30, dim: int = 64) -> str:
     )
     cos = (
         "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
-        " / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
-        " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)"
+        " / NULLIF(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 6)"
     )
     return f"""
     WITH sig AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
@@ -991,8 +992,8 @@ def q_embed_neardup_lsh(spark, sf_dir):
     scored AS (
       SELECT q.q_id, e.vec_id,
              ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.q_embedding AS DOUBLE[]))
-                   / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
-                      * sqrt(list_dot_product(CAST(q.q_embedding AS DOUBLE[]), CAST(q.q_embedding AS DOUBLE[])))), 6) AS cos6
+                   / NULLIF(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.q_embedding AS DOUBLE[]), CAST(q.q_embedding AS DOUBLE[]))), 0), 6) AS cos6
       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id
     )
     SELECT q_id, rank, vec_id, cos6 FROM (
@@ -1010,8 +1011,8 @@ def q_ann_cosine_topk(spark, sf_dir):
 def _cos_sql(a: str, b: str) -> str:
     return (
         f"ROUND(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
-        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
-        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))), 6)"
+        f" / NULLIF(sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))), 0), 6)"
     )
 
 

@@ -44,7 +44,10 @@ def md5_52(col: Column) -> Column:
 
 
 def normalized(col: Column) -> Column:
-    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    # collapse FIRST, trim LAST: trim strips only 0x20 (Spark and
+    # DuckDB alike), so a leading tab would otherwise survive as a
+    # leading space in the normalized form
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
 # ------------------------------------------------------------ exact
@@ -52,7 +55,10 @@ def normalized(col: Column) -> Column:
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by md5 fingerprint: keeper = min id.
-    Returns (fingerprint, keeper_id, n_docs) for groups with dups."""
+    Returns (fingerprint, keeper_id, n_docs) for EVERY fingerprint
+    group, singletons included — filter ``n_docs > 1`` for duplicate
+    clusters. (dedup_keep's left-semi join depends on singletons being
+    present: their keeper row is what keeps unique docs alive.)"""
     return (
         docs.select(F.col(id_col), F.md5(normalized(F.col(text_col))).alias("fingerprint"))
         .groupBy("fingerprint")
@@ -359,7 +365,10 @@ def cosine6(va: Column, vb: Column) -> Column:
     )
     na = F.sqrt(F.aggregate(va, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
     nb = F.sqrt(F.aggregate(vb, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return F.round(dot / (na * nb), 6)
+    # nullif guard: a zero/empty vector must yield NULL (dropped by any
+    # >= threshold filter), not an ANSI DIVIDE_BY_ZERO that kills the
+    # job — mirrored by NULLIF in every oracle SQL
+    return F.round(dot / F.nullif(na * nb, F.lit(0.0)), 6)
 
 
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
@@ -499,7 +508,7 @@ def embedding_neardup_lsh(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    cos = F.round(dot / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)), 6)
     return (
         a.join(
             b2,

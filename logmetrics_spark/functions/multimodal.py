@@ -51,7 +51,16 @@ def _decode_one(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             "real image codecs are not available in this environment; "
             "only the LMIMG fake-payload format is decodable"
         )
+    if len(payload) < 10:
+        raise ValueError(
+            f"corrupt LMIMG payload: {len(payload)} bytes, header needs 10"
+        )
     w, h, c = struct.unpack("<HHB", payload[5:10])
+    need = 10 + w * h * c
+    if len(payload) < need:
+        raise ValueError(
+            f"corrupt LMIMG payload: declared {w}x{h}x{c} needs {need} bytes, got {len(payload)}"
+        )
     px = np.frombuffer(payload[10 : 10 + w * h * c], dtype=np.uint8)
     return w, h, c, px.reshape(h, w, c)
 

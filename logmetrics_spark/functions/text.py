@@ -11,8 +11,10 @@ Portability conventions (Spark <-> DuckDB):
 - "count of regex occurrences" is expressed as
   ``(length(x) - length(regexp_replace(x, pat, ''))) / len(repl_unit)``
   -> identical in DuckDB with the 'g' flag;
-- tokenization is ``split(trim(x), '\\s+')`` with the empty-string
-  guard (both engines return [''] for empty input).
+- tokenization collapses ALL whitespace runs to single spaces first
+  (``trim(regexp_replace(x, '\\s+', ' '))``) then splits on ' ': both
+  engines' bare ``trim`` strips only 0x20, so tab/newline edges would
+  otherwise emit phantom empty tokens.
 """
 
 from __future__ import annotations
@@ -30,11 +32,18 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS_EN = ["the", "a", "of", "and", "is", "to", "in"]
 
 
+def ws_norm(col: Column) -> Column:
+    """Whitespace-safe normalize: collapse runs to single spaces, then
+    strip edges (trim alone strips only 0x20 in Spark AND DuckDB, so
+    tab/newline edges survive a bare trim+split)."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
 def token_count(col: Column) -> Column:
     """Whitespace token count with empty-string guard."""
-    t = F.trim(col)
+    t = ws_norm(col)
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
+        F.size(F.split(t, " "))
     ).cast("long")
 
 
@@ -42,7 +51,10 @@ def token_count(col: Column) -> Column:
 # Java regex implement identically (no lookahead — RE2 has none):
 # contraction suffixes, space-prefixed letter runs, space-prefixed
 # digit runs, space-prefixed punctuation runs, whitespace runs.
-BPE_TOKEN_RE = r"(?:'(?:[sdmt]|ll|ve|re))| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+# the punctuation class keeps the apostrophe (as GPT-2's does): the
+# contraction alternation wins first where it applies, and bare
+# apostrophes (possessive plurals, quoted text) must still count
+BPE_TOKEN_RE = r"(?:'(?:[sdmt]|ll|ve|re))| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
 
 
 def bpe_token_count(col: Column) -> Column:
@@ -61,19 +73,10 @@ def occurrence_count(col: Column, pattern: str) -> Column:
     return (F.length(col) - F.length(F.regexp_replace(col, pattern, ""))).cast("long")
 
 
-def marker_hits(col: Column, marker: str) -> Column:
-    """Non-overlapping occurrences of a literal marker substring."""
-    pad = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
-    return (
-        (F.length(pad) - F.length(F.regexp_replace(pad, _lit_re(marker), "")))
-        / F.lit(len(marker))
-    ).cast("long")
-
-
 def tokens(col: Column) -> Column:
     """Lowercased whitespace tokens (shared by lang-ID / stopword
     scoring — ONE split instead of one regex pass per marker word)."""
-    return F.split(F.trim(F.lower(col)), r"\s+")
+    return F.split(ws_norm(F.lower(col)), " ")
 
 
 def word_hits(toks: Column, words: list[str]) -> Column:
@@ -81,13 +84,6 @@ def word_hits(toks: Column, words: list[str]) -> Column:
     no regex; DuckDB mirror: len(list_filter(toks, t -> t IN (...)))."""
     wset = set(words)
     return F.size(F.filter(toks, lambda t: t.isin(*wset))).cast("long")
-
-
-def _lit_re(s: str) -> str:
-    out = []
-    for c in s:
-        out.append("\\" + c if c in r"\.[]{}()*+-?^$|" else c)
-    return "".join(out)
 
 
 def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -162,7 +158,7 @@ def rolling_fingerprint(col: Column) -> Column:
     codepoints: h = fold(h * B + cp) mod M. The windowed/streaming
     fingerprint primitive (content-defined chunking, winnowing) in its
     whole-document form; exact DuckDB mirror via list_reduce."""
-    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    norm = ws_norm(F.lower(col))
     fold = F.aggregate(
         F.split(norm, ""),
         F.lit(0).cast("long"),
@@ -174,5 +170,5 @@ def rolling_fingerprint(col: Column) -> Column:
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over whitespace-normalized lowercase
     text (exact-dedup key)."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    norm = ws_norm(F.lower(F.col(text_col)))
     return df.withColumn("fingerprint", F.md5(norm))

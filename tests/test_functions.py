@@ -157,3 +157,41 @@ def test_rolling_fingerprint_deterministic(spark):
     assert got[1] == h  # normalization: lower + trim
     assert got[2] == 0
     assert got[3] != h
+
+
+def test_zero_vector_embeddings_do_not_crash(spark):
+    """ANSI mode (Spark 4 default) turns x/0 into a job-killing
+    DIVIDE_BY_ZERO; a zero/padding embedding must yield NULL cosine
+    (dropped by threshold filters), not abort the corpus job."""
+    import pandas as pd
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2],
+                "embedding": [[0.0] * 8, [1.0] * 8, [1.0] * 8],
+                "label": [0, 0, 0],
+            }
+        )
+    )
+    pairs = D.embedding_neardup_pairs(emb, 0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+    lsh = D.embedding_neardup_lsh(emb, 0.5, dim=8).collect()
+    assert all((r["id_a"], r["id_b"]) == (1, 2) for r in lsh)
+
+
+def test_token_count_whitespace_edges(spark):
+    """trim strips only 0x20 in both engines: tab/newline edges must
+    not produce phantom empty tokens."""
+    import pandas as pd
+
+    from logmetrics_spark.functions.text import token_count, tokens
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["\t\n", "\thello", "a\tb", "  x  ", ""]})
+    )
+    got = [r[0] for r in df.select(token_count(F.col("text"))).collect()]
+    assert got == [0, 1, 2, 1, 0], got
+    toks = df.select(tokens(F.col("text")).alias("t")).collect()
+    assert toks[1]["t"] == ["hello"]
+    assert toks[2]["t"] == ["a", "b"]
