@@ -67,7 +67,11 @@ def assign_cells(
     |emb| x |centroids| intermediate, no window sort-shuffle (the
     v1 crossJoin+row_number shape materialized and shuffled the full
     product). Ties broken by ascending c_id; cosine rounded to 6dp to
-    match :func:`logmetrics_spark.functions.dedup.cosine6` exactly.
+    match :func:`logmetrics_spark.functions.dedup.cosine6` (np.round
+    is half-even vs Spark/DuckDB HALF_UP — they diverge only when a
+    cosine lands within ~1 ulp of a 6dp midpoint, ~1e-16 per value;
+    accepted and pinned by the IVF recall test, same status as the
+    EWMA bulk-path ulp note in operators/aggregate.py).
 
     Centroids are tiny by contract (a coarse quantizer); collecting
     them to the driver IS the broadcast. Output: (id, vec, cell) —
