@@ -424,8 +424,10 @@ def with_hyperplane_signature(
 ) -> DataFrame:
     """(id, vec) -> (id, vec, sig): one numpy matmul per Arrow batch
     against the broadcast plane matrix; bit p = (round(vec . plane_p, 6) > 0)
-    in double math — the exact contract the DuckDB oracle replays via
-    list_dot_product."""
+    in double math — the contract the DuckDB oracle replays via
+    list_dot_product (np.round is half-even vs HALF_UP there: a dot
+    product within ~1 ulp of a 6dp midpoint can flip one signature
+    bit, ~1e-16 per (vector, plane) — accepted; see similarity.py)."""
     import numpy as np
     import pandas as pd
 
