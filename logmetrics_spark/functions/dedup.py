@@ -43,6 +43,27 @@ def md5_52(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
 
 
+def guard_validation_scale(
+    df: DataFrame, max_rows: int | None, op: str, scale_path: str
+) -> None:
+    """Self-enforcing contract for the quadratic validation oracles:
+    the all-pairs builders exist to validate their LSH scale-path
+    siblings at small scale, and nothing but this guard stops a user
+    from pointing one at a full corpus. Counts the input (one cheap
+    job — negligible next to the quadratic work it prevents) and
+    refuses above ``max_rows``; pass ``max_rows=None`` to override
+    deliberately."""
+    if max_rows is None:
+        return
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"{op}: input has {n} rows (> validation-scale guard {max_rows}). "
+            f"This operator is quadratic BY DESIGN (a small-scale recall oracle); "
+            f"use {scale_path} at corpus scale, or pass max_rows=None to override."
+        )
+
+
 def normalized(col: Column) -> Column:
     # collapse FIRST, trim LAST: trim strips only 0x20 (Spark and
     # DuckDB alike), so a leading tab would otherwise survive as a
@@ -112,10 +133,16 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.4, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rows: int | None = 50_000,
 ) -> DataFrame:
     """All-pairs n-gram Jaccard >= threshold (exact; quadratic — the
-    oracle for the LSH path). Returns (id_a, id_b, jaccard6)."""
+    oracle for the LSH path; guarded to validation scale).
+    Returns (id_a, id_b, jaccard6)."""
+    guard_validation_scale(docs, max_rows, "ngram_jaccard_pairs", "minhash_lsh_pairs")
     sh = shingles(docs, id_col, text_col)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
@@ -371,11 +398,16 @@ def cosine6(va: Column, vb: Column) -> Column:
     return F.round(dot / F.nullif(na * nb, F.lit(0.0)), 6)
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.95, max_rows: int | None = 5_000
+) -> DataFrame:
     """EXACT embedding-cosine near-dup pairs (vec_id a < b,
     cosine6 >= t). Quadratic all-pairs BY DESIGN — this is the recall
     oracle for :func:`embedding_neardup_lsh`, the scale path; use only
-    at validation scale (same status as ngram_jaccard_pairs)."""
+    at validation scale (same status as ngram_jaccard_pairs; guarded)."""
+    guard_validation_scale(
+        emb, max_rows, "embedding_neardup_pairs", "embedding_neardup_lsh"
+    )
     a = emb.alias("a")
     b = emb.alias("b")
     cos = cosine6(F.col("a.embedding"), F.col("b.embedding"))

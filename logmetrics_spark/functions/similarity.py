@@ -21,13 +21,18 @@ from .dedup import cosine6
 
 
 def cosine_topk(
-    emb: DataFrame, queries: DataFrame, k: int = 5
+    emb: DataFrame, queries: DataFrame, k: int = 5, max_rows: int | None = 10_000
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     ``emb``: (vec_id, embedding); ``queries``: (q_id, q_embedding).
     Returns (q_id, rank, vec_id, cos6); self-matches excluded; ties
-    broken by vec_id (deterministic)."""
+    broken by vec_id (deterministic). Brute-force |emb| x |queries|
+    BY DESIGN — the recall oracle for :func:`ivf_topk`; guarded to
+    validation scale on the query side (the corpus side is linear)."""
+    from .dedup import guard_validation_scale
+
+    guard_validation_scale(queries, max_rows, "cosine_topk(queries)", "ivf_topk")
     joined = emb.crossJoin(F.broadcast(queries)).filter(
         F.col("vec_id") != F.col("q_id")
     )

@@ -309,10 +309,10 @@ def run_resumable(
     }
     routed = run_stage2_global(spark, cfg, staging, io, committed_units=committed)
     # count the WRITTEN table (metadata-cheap), not the lazy plan —
-    # counting `routed` would re-run the whole crunch+route DAG
-    n = spark.read.schema(routed.schema).parquet(
-        os.path.join(work_dir, "out", "routed")
-    ).count()
+    # counting `routed` would re-run the whole crunch+route DAG. Read
+    # through the TableIO seam (NOT a hand-built parquet path): with
+    # fmt="iceberg" the hand-built read would silently miss the table.
+    n = io.read(spark, "routed").count()
     return {
         "units_skipped": done,
         "units_computed": computed,

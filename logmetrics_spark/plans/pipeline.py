@@ -186,8 +186,6 @@ def run_pipeline(
         # internal stats tables (data_pool.* / pusher.*)
         routed_back = io.read(spark, "routed")
         io.write(pusher_stats(routed_back), "stats_pusher", manifest_extra={"kind": "stats"})
-        for lg in cfg.log_groups:
-            pass  # pool stats computed over the union below
         io.write(
             pool_stats(all_emissions),
             "stats_pool",

@@ -195,3 +195,23 @@ def test_token_count_whitespace_edges(spark):
     toks = df.select(tokens(F.col("text")).alias("t")).collect()
     assert toks[1]["t"] == ["hello"]
     assert toks[2]["t"] == ["a", "b"]
+
+
+def test_quadratic_oracle_guards(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20), "text": [f"doc {i} text" for i in range(20)]})
+    )
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        D.ngram_jaccard_pairs(docs, 0.4, max_rows=10)
+    # under the guard: builds fine
+    D.ngram_jaccard_pairs(docs, 0.4, max_rows=100)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(20), "embedding": [[1.0, 0.0]] * 20})
+    )
+    with pytest.raises(ValueError, match="embedding_neardup_lsh"):
+        D.embedding_neardup_pairs(emb, 0.95, max_rows=10)
+    q = emb.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_embedding"))
+    with pytest.raises(ValueError, match="ivf_topk"):
+        S.cosine_topk(emb, q, 5, max_rows=10)
+    # override works
+    D.embedding_neardup_pairs(emb, 0.95, max_rows=None)
