@@ -171,6 +171,23 @@ def run_stage1_units(
     partials = pages.mapInPandas(
         _make_unit_kernel(groups), schema=PARTIAL_SCHEMA + ", u string, g string"
     )
+    # Purge each pending unit's staging partitions BEFORE the write:
+    # dynamic partitionOverwriteMode only replaces (u, g) partitions
+    # present in the NEW output, so a group that now produces ZERO
+    # rows for a unit (e.g. a tightened url_match under a new config)
+    # would leave its previous partials on disk — and stage 2's
+    # filters (committed u + group in cfg) would then blend the stale
+    # partials into the routed output, the exact contamination the
+    # cfg fingerprint exists to prevent. A failure between the purge
+    # and the commit is safe: the unit has no lineage entry yet, so
+    # resume recomputes it wholesale. (Against object stores this
+    # purge is the same recursive-delete Iceberg's
+    # overwritePartitions() does transactionally.)
+    import shutil
+
+    pending_ids = {_unit_id(p): p for p in pending}
+    for uid in pending_ids:
+        shutil.rmtree(os.path.join(staging_dir, f"u={uid}"), ignore_errors=True)
     (
         partials.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -184,7 +201,6 @@ def run_stage1_units(
     # partial stats collect to the driver (tiny: units x groups rows)
     # and combine there — a groupBy().collect() would split into two
     # jobs under AQE.
-    pending_ids = {_unit_id(p): p for p in pending}
     back = spark.read.schema(PARTIAL_SCHEMA + ", u string, g string").parquet(
         staging_dir
     ).filter(F.col("u").isin(*pending_ids.keys()))
@@ -312,7 +328,7 @@ def run_resumable(
     # counting `routed` would re-run the whole crunch+route DAG. Read
     # through the TableIO seam (NOT a hand-built parquet path): with
     # fmt="iceberg" the hand-built read would silently miss the table.
-    n = io.read(spark, "routed").count()
+    n = io.read(spark, "routed", schema=routed.schema).count()
     return {
         "units_skipped": done,
         "units_computed": computed,

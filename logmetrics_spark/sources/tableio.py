@@ -30,10 +30,15 @@ class TableIO:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def read(self, spark: SparkSession, table: str, schema=None) -> DataFrame:
+        """``schema``: optional explicit schema (StructType or DDL) —
+        required to read a legitimately EMPTY parquet table (zero-row
+        writes leave no footer to infer from; Iceberg carries schema in
+        metadata so the option is a parquet-only concern)."""
         if self.fmt == "iceberg":
             return spark.read.format("iceberg").load(self._path(table))
-        return spark.read.parquet(self._path(table))
+        reader = spark.read.schema(schema) if schema is not None else spark.read
+        return reader.parquet(self._path(table))
 
     def write(
         self,

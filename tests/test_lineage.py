@@ -134,3 +134,27 @@ def test_unit_ids_distinct_across_partition_dirs(tmp_path):
     assert _unit_id("file:/data/x/part-0.parquet") == _unit_id(
         "file:///data/x/part-0.parquet"
     ) == _unit_id("/data/x/part-0.parquet")
+
+
+def test_config_change_purges_stale_unit_partitions(spark, apache_cfg, pages_dir):
+    """Dynamic partition overwrite only replaces (u, g) partitions
+    present in the NEW output — a recompute under a config whose group
+    now matches NOTHING must not leave the old config's partials in
+    staging (they'd be committed under the new cfg_fp and blended into
+    the routed output)."""
+    import dataclasses
+
+    work = f"{pages_dir['base']}/work_purge"
+    r1 = run_resumable(spark, apache_cfg, pages_dir["path"], work)
+    assert r1["units_computed"] == 4 and r1["routed_rows"] > 0
+    # tighten url_match so the SAME group produces zero rows everywhere
+    lgs = tuple(
+        dataclasses.replace(lg, url_match=r"^https://never\.matches\.example/")
+        for lg in apache_cfg.log_groups
+    )
+    changed = dataclasses.replace(apache_cfg, log_groups=lgs)
+    r2 = run_resumable(spark, changed, pages_dir["path"], work)
+    assert r2["units_computed"] == 4
+    assert r2["routed_rows"] == 0, (
+        "stale partials from the previous config survived the recompute"
+    )
