@@ -871,10 +871,13 @@ def _minhash_sql() -> str:
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
     ),
-    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM shh GROUP BY id),
+    -- intersection via the HASHED shingle table (replays the engine's
+    -- long-typed verify join bit-for-bit, including any 52-bit
+    -- collision overcount)
     inter AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      FROM shh a JOIN shh b ON a.h = b.h AND a.id < b.id
       GROUP BY a.id, b.id
     )
     SELECT c.id_a, c.id_b,

@@ -129,7 +129,11 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(tk, (i + j + 1).cast("int")) for j in range(n)]),
     )
-    return base.select("id", F.explode(grams).alias("shingle")).distinct()
+    # per-doc dedup is NARROW: every (id, shingle) row of one doc
+    # comes from one input row, so array_distinct before the explode
+    # is exactly .distinct() after it — minus a full shuffle of the
+    # widest table in the whole dedup family
+    return base.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -164,6 +168,85 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------------------ LSH banding core
+
+
+def band_bucket_pairs(
+    entries: DataFrame, payload_cols: list[str], bucket_cap: int | None = None
+) -> DataFrame:
+    """Within-bucket candidate pairs from a banded-entry table.
+
+    ``entries``: one row per (item, band) with columns
+    (band, bucket, <payload_cols...>); the first payload col must be
+    the item id (orders pairs: a < b). Returns rows with two struct
+    columns ``a`` / ``b`` (the payloads of each pair), for every
+    unordered pair sharing a (band, bucket).
+
+    Plan shape (the reason this exists instead of a band self-join):
+    ONE shuffle — groupBy (band, bucket) + collect_list — then the
+    pairs are generated narrowly by a double explode over the sorted
+    member array. A self-join costs two shuffles of the banded table
+    and reads the upstream item table once per side; this reads it
+    once, total. Volume is identical (sum over buckets of m^2/2).
+
+    ``bucket_cap`` is the skew guard: a bucket with more than
+    ``bucket_cap`` members (a viral near-dup family — the adversarial
+    case for any LSH) would alone contribute m^2/2 pairs; such buckets
+    degrade to STAR pairs (min-id member vs every other member),
+    capping their contribution at m-1 while keeping every member
+    reachable from the representative — connected-component dedup
+    (keep one per component) is unaffected when the family is mutually
+    similar, but pairwise recall within oversized buckets is
+    deliberately sacrificed. None (default) = exact all-pairs per
+    bucket (the oracle-parity mode)."""
+    pl = F.struct(*[F.col(c) for c in payload_cols])
+    grouped = (
+        entries.select("band", "bucket", pl.alias("p"))
+        .groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("p")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    ps = F.col("ps")
+
+    def all_pairs(df: DataFrame) -> DataFrame:
+        e1 = df.select(ps.alias("ps"), F.posexplode(ps).alias("i", "a"))
+        return e1.select(
+            "a",
+            F.explode(
+                F.slice(
+                    F.col("ps"),
+                    F.col("i") + 2,
+                    F.greatest(F.size("ps") - F.col("i") - 1, F.lit(0)),
+                )
+            ).alias("b"),
+        )
+
+    if bucket_cap is None:
+        return all_pairs(grouped)
+    small = grouped.filter(F.size(ps) <= bucket_cap)
+    star = grouped.filter(F.size(ps) > bucket_cap).select(
+        F.element_at(ps, 1).alias("a"),
+        F.explode(F.slice(ps, 2, F.size(ps) - 1)).alias("b"),
+    )
+    return all_pairs(small).unionByName(star)
+
+
+def band_bucket_stats(entries: DataFrame) -> DataFrame:
+    """Occupancy telemetry per band over a banded-entry table:
+    (band, n_buckets, max_bucket, p99_bucket, candidate_pairs) —
+    candidate_pairs = sum of m*(m-1)/2 per bucket, the exact pair
+    volume the band contributes before dedup. This is the number to
+    watch when scaling: linear growth in corpus size is healthy,
+    a blowing max_bucket means a near-dup family needs bucket_cap."""
+    occ = entries.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("m"))
+    return occ.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("m").alias("max_bucket"),
+        F.expr("percentile_approx(m, 0.99)").alias("p99_bucket"),
+        F.sum(F.col("m") * (F.col("m") - 1) / 2).cast("long").alias("candidate_pairs"),
+    )
+
+
 # ------------------------------------------------------------ minhash
 
 
@@ -171,29 +254,51 @@ MH_PRIME = 4503599627370517  # smallest prime above 2^52
 
 
 def mh_affine_params(k: int = MINHASH_K) -> list[tuple[int, int]]:
-    """Deterministic affine constants (a_i odd < 2^10, b_i < P) from
+    """Deterministic affine constants (a_i odd < 2^11, b_i < P) from
     the engine's md5 convention — pure literals, shared with the
-    DuckDB oracle SQL."""
+    DuckDB oracle SQL.
+
+    Quality trade, explicit: this is NOT a true universal family —
+    all k estimators share ONE 52-bit base hash per shingle, so they
+    are correlated, and a spans only the odd values < 2048 (the full
+    int64-budget-safe range: a*h + b <= 2047*(2^52-1) + P-1 < 2^63,
+    exact on both engines). The per-shingle cost is 1 md5 instead of
+    k (measured ~16x cheaper in the aggregation build); the price is
+    statistically weaker Jaccard estimates than k independent md5
+    hashes. The contract that makes this safe: LSH here only
+    GENERATES candidates — every emitted pair is verified with the
+    exact Jaccard — so estimator quality affects recall, never
+    precision, and recall is pinned empirically against
+    ngram_jaccard_pairs on planted-duplicate corpora
+    (tests/test_plans.py::test_minhash_lsh_planted_recall)."""
     import hashlib
 
     out = []
     for i in range(k):
-        a = 2 * (int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:13], 16) % 512) + 1
+        a = 2 * (int(hashlib.md5(f"a:{i}".encode()).hexdigest()[:13], 16) % 1024) + 1
         b = int(hashlib.md5(f"b:{i}".encode()).hexdigest()[:13], 16) % MH_PRIME
         out.append((a, b))
     return out
 
 
-def minhash_signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """k MinHash values per doc via ONE base hash + k affine universal
-    hashes: mh_i = min over shingles of (a_i * h + b_i) mod P, with
-    h = md5_52(shingle) and P the smallest prime above 2^52. Since
-    a_i < 2^10 and h < 2^52, a_i*h + b_i < 2^63 — exact int64 on both
-    engines, so the DuckDB oracle replays it bit-for-bit. One md5 per
-    shingle row instead of k: the k-md5 variant measured ~16 us/row
-    inside the aggregation build (k md5+conv evaluations per input
-    row), ~66 CPU-seconds on the sf0.1 corpus."""
-    base = sh.select("id", md5_52(F.col("shingle")).alias("h"))
+def shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = NGRAM_N
+) -> DataFrame:
+    """(id, h) per distinct shingle, h = md5_52(shingle). The narrow
+    long-typed form every downstream minhash consumer works on — the
+    raw shingle STRINGS (avg tens of bytes each) never need to leave
+    the map side, which cuts both the persisted footprint and the
+    verify-join shuffle bytes several-fold vs joining on strings."""
+    return shingles(docs, id_col, text_col, n).select(
+        "id", md5_52(F.col("shingle")).alias("h")
+    )
+
+
+def minhash_signatures_from_hashes(shh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k MinHash values per doc from the hashed-shingle table
+    (id, h): mh_i = min over shingles of (a_i * h + b_i) mod P, with
+    P the smallest prime above 2^52 — exact int64 on both engines, so
+    the DuckDB oracle replays it bit-for-bit."""
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MH_PRIME)).alias(f"mh{i}")
         for i, (a, b) in enumerate(mh_affine_params(k))
@@ -203,7 +308,14 @@ def minhash_signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataF
     # aggregation would re-shuffle the shingle table for a value this
     # pass already sees
     aggs.append(F.count(F.lit(1)).alias("sz"))
-    return base.groupBy("id").agg(*aggs)
+    return shh.groupBy("id").agg(*aggs)
+
+
+def minhash_signatures_from_shingles(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """k MinHash values per doc from a raw (id, shingle) table."""
+    return minhash_signatures_from_hashes(
+        sh.select("id", md5_52(F.col("shingle")).alias("h")), k
+    )
 
 
 def minhash_signatures(
@@ -214,11 +326,34 @@ def minhash_signatures(
     return minhash_signatures_from_shingles(shingles(docs, id_col, text_col), k)
 
 
+def _minhash_band_entries(sig: DataFrame) -> DataFrame:
+    """(id, band, bucket) banded entries from a signature table, ONE
+    narrow pass (explode over per-band bucket structs — not a
+    band-per-leg union, which re-reads the signature table
+    LSH_BANDS times)."""
+    entries = []
+    for b in range(LSH_BANDS):
+        cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
+            )
+        )
+    return sig.select("id", "sz", F.explode(F.array(*entries)).alias("bb")).select(
+        "id",
+        "sz",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate generation + exact-Jaccard verification
     restricted to the candidate pairs.
@@ -226,78 +361,59 @@ def minhash_lsh_pairs(
     Bands of LSH_ROWS rows each; candidates = pairs sharing >=1 band
     bucket (distinct). Verification never touches non-candidate pairs:
     each candidate pair's shingle intersection is computed by routing
-    the pair through the (id, shingle) table twice — an equi-join per
-    side, O(|candidates| x shingles-per-doc), NOT the all-pairs
-    shingle self-join. The result is a *subset* of
-    ngram_jaccard_pairs — recall < 1 by construction, the
-    scale/accuracy trade of LSH. Returns (id_a, id_b, jaccard6).
+    the pair through the HASHED shingle table (id, h) twice — an
+    equi-join on 64-bit longs per side, O(|candidates| x
+    shingles-per-doc), NOT the all-pairs shingle self-join, and
+    never shuffling the raw shingle strings. The result is a *subset*
+    of ngram_jaccard_pairs — recall < 1 by construction, the
+    scale/accuracy trade of LSH. (A 52-bit hash collision between two
+    DIFFERENT shingles of a candidate pair would overcount the
+    intersection by 1; at p ~ n_shingles^2 / 2^53 per pair this is
+    negligible, and the DuckDB oracle replays the same h-join, so
+    engine-vs-oracle equality is exact regardless.)
+    Returns (id_a, id_b, jaccard6).
 
-    NOTE: this builder MATERIALIZES its internal shingle + signature
-    tables when called (see the eager-pin comment below), and the
-    pinned tables live until ``spark.catalog.clearCache()`` / session
-    end (storage is LRU-evictable, so long sessions degrade to
-    recompute, not OOM). Call it when you intend to execute."""
-    # the shingle table feeds FOUR consumers (signatures, both sides
-    # of the candidate-pair intersection, sizes); without persist each
-    # reuse re-runs the explode+distinct shuffle from the raw docs —
-    # measured 4x the whole query's cost. The table is the small
-    # normalized form (O(docs x shingles/doc)), the canonical thing to
-    # materialize at any scale.
-    sh = shingles(docs, id_col, text_col, NGRAM_N).persist()
-    # the signature table feeds all LSH_BANDS band projections AND
-    # both sides of the band self-join: unpersisted, the k-min
-    # aggregation (the most expensive shuffle in this plan) re-runs
-    # 2 x LSH_BANDS times — measured 4x the whole query's cost
-    sig = minhash_signatures_from_shingles(sh, MINHASH_K).persist()
-    # EAGER materialization: the band self-join broadcasts both sides,
-    # and Spark materializes broadcast subqueries on concurrent driver
-    # threads — each thread that arrives before the lazy cache is
-    # populated computes the FULL upstream plan itself (cache
-    # stampede: the signature agg ran ~6x inside one action, 376
-    # CPU-seconds for a 66 CPU-second plan). Two cheap counts pin the
-    # tables before the stampede can start.
-    sh.count()
-    sig.count()
-    bands = []
-    for b in range(LSH_BANDS):
-        cols = [F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-        bands.append(
-            sig.select(
-                F.col("id"),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("bucket"),
-            )
-        )
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
-    a = allb.alias("a")
-    b2 = allb.alias("b")
+    Candidate generation is :func:`band_bucket_pairs` (ONE groupBy
+    shuffle + narrow pair explode — no band self-join), and
+    ``bucket_cap`` passes through as the skew guard for viral
+    near-dup families (default None = exact, the oracle-parity mode).
+
+    Lazy: persisted intermediates (hashed shingles + signatures)
+    materialize at first action and live until clearCache()/session
+    end (LRU-evictable). Every join consuming a cached table is
+    hinted SHUFFLE_HASH so no broadcast subquery consumes the lazy
+    caches — the broadcast-thread stampede that eager count() pins
+    used to defeat (r02) cannot start, and calling this builder no
+    longer runs jobs as a side effect."""
+    # shingle_hashes is now fully NARROW (array_distinct per doc, no
+    # shuffle); persisted because three consumers re-run the
+    # parse+explode+md5 chain otherwise, and the cached form is just
+    # (id, h) longs
+    shh = shingle_hashes(docs, id_col, text_col, NGRAM_N).persist()
+    sig = minhash_signatures_from_hashes(shh, MINHASH_K).persist()
+    # sz rides inside the band payload, so the pair rows already carry
+    # both Jaccard denominators — no sizes joins at the end at all
     cand = (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+        band_bucket_pairs(_minhash_band_entries(sig), ["id", "sz"], bucket_cap=bucket_cap)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact verification ONLY on candidates: pair -> a-side shingles
-    # -> semi-match on the b-side -> per-pair intersection counts
+    # exact verification ONLY on candidates: pair -> a-side hashed
+    # shingles -> equi-match on the b-side -> per-pair intersection
+    # counts (long-typed join keys end to end)
     inter = (
-        cand.join(sh.select(F.col("id").alias("id_a"), "shingle"), "id_a")
-        .join(sh.select(F.col("id").alias("id_b"), "shingle"), ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
+        cand.join(shh.hint("shuffle_hash").select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(shh.hint("shuffle_hash").select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    # sizes come from the persisted signature table (sz computed in
-    # the same groupBy as the minhashes) — no extra shuffle of sh
-    sizes = sig.select("id", "sz")
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn(
+        inter.withColumn(
             "jaccard6",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
         )
@@ -314,10 +430,13 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     bit_j(sig) = 1 iff sum over distinct tokens of
     (bit_j(md5_52(token)) ? +1 : -1) > 0. Returns (id, simhash)."""
+    # per-doc token dedup narrowly via array_distinct (see shingles)
     toks = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(normalized(F.col(text_col))), r"\s+")).alias("tok"),
-    ).distinct()
+        F.explode(
+            F.array_distinct(F.split(F.trim(normalized(F.col(text_col))), r"\s+"))
+        ).alias("tok"),
+    )
     # project the base hash ONCE: referencing md5_52(tok) inside all
     # SIMHASH_BITS aggregate expressions evaluates the md5 per bit per
     # row (32x the hashing work) — same value, one evaluation
@@ -501,19 +620,18 @@ def embedding_neardup_lsh(
     construction (probabilistic banding — widen bands/add planes to
     trade candidate volume for recall at scale); precision 1.0. The
     deterministic planes make the whole computation reproducible in
-    ANSI SQL. Returns (id_a, id_b, cos6). Like minhash_lsh_pairs,
-    calling this MATERIALIZES the signature table (eager cache pin;
-    LRU-evictable, cleared by clearCache/session end)."""
+    ANSI SQL. Returns (id_a, id_b, cos6). Lazy — persisted signature
+    table materializes at first action (LRU-evictable, cleared by
+    clearCache/session end)."""
     planes = hyperplanes(dim, n_planes)
     width = n_planes // n_bands
     # persist: the band self-join consumes the signature table on both
     # sides, and an unpersisted mapInPandas output would recompute its
-    # Python stage twice
+    # Python stage twice. The self-join is hinted SHUFFLE_HASH below,
+    # so no broadcast thread ever consumes the lazy cache (the
+    # stampede the r02 eager count() pin existed to defeat) — cache
+    # population happens inside the join's own map stage, once.
     s = with_hyperplane_signature(emb, planes).persist()
-    # eager pin (see minhash_lsh_pairs): the band self-join broadcasts
-    # both sides on concurrent driver threads; an unmaterialized lazy
-    # cache would run the Python signature stage once per thread
-    s.count()
     bands = [
         s.select(
             "vec_id",
@@ -544,8 +662,9 @@ def embedding_neardup_lsh(
     )
     cos = F.round(dot / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)), 6)
     return (
-        a.join(
-            b2,
+        a.hint("shuffle_hash")
+        .join(
+            b2.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bval") == F.col("b.bval"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),

@@ -233,3 +233,88 @@ def test_phase_a_combiner_bounds_shuffle_volume(spark):
     )
     dp.unpersist()
     partials.unpersist()
+
+
+def _planted_dup_docs(spark, n_base=150, mutate_every=12):
+    """Deterministic corpus with planted near-duplicates: doc i+1000
+    is doc i with every ``mutate_every``-th token replaced — shingle
+    Jaccard ~0.75-0.9, the regime the 4x4 banding targets."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_base).select(F.col("id").alias("doc_id"))
+    toks = [
+        F.concat(
+            F.lit("w"),
+            (D.md5_52(F.concat_ws(":", F.col("doc_id"), F.lit(str(j)))) % 4000).cast("string"),
+        )
+        for j in range(50)
+    ]
+    originals = base.select("doc_id", F.concat_ws(" ", *toks).alias("text"))
+    mut = [
+        F.lit(f"m{j}") if j % mutate_every == 0 else toks[j] for j in range(50)
+    ]
+    clones = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"), F.concat_ws(" ", *mut).alias("text")
+    )
+    return originals.unionByName(clones)
+
+
+def test_minhash_lsh_planted_recall(spark):
+    """Estimator-quality pin for the shared-base-hash affine MinHash
+    family (ADVICE r02): on planted near-duplicates the LSH path must
+    recover >= 80% of the true >=0.6-Jaccard pairs found by the exact
+    all-pairs oracle. Guards against a silently-degenerate hash family
+    (correlated estimators pushing recall far below the 1-(1-j^r)^b
+    theory curve)."""
+    docs = _planted_dup_docs(spark)
+    truth = {
+        (r["id_a"], r["id_b"]): r["jaccard6"]
+        for r in D.ngram_jaccard_pairs(docs, 0.6, max_rows=None).collect()
+    }
+    # the mutation scheme guarantees a large planted set
+    assert len(truth) >= 100
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, 0.6).collect()
+    }
+    assert lsh <= set(truth)  # precision 1.0 (exact verify)
+    recall = len(lsh & set(truth)) / len(truth)
+    # expected recall for an IDEAL universal family:
+    # mean over true pairs of P(candidate) = 1-(1-j^rows)^bands.
+    # The shared-base-hash affine family is correlated, so we only
+    # require it lands within a fixed slack of the ideal curve — a
+    # degenerate family (recall collapsing toward 0) fails loudly.
+    ideal = sum(
+        1 - (1 - j ** D.LSH_ROWS) ** D.LSH_BANDS for j in truth.values()
+    ) / len(truth)
+    assert recall >= ideal - 0.15, (
+        f"planted-dup recall {recall:.2f} vs ideal-family expectation {ideal:.2f}"
+    )
+
+
+def test_minhash_bucket_cap_star_degradation(spark):
+    """Oversized buckets degrade to star pairs under bucket_cap: a
+    viral family of m identical docs yields m-1 pairs (all through the
+    min-id representative) instead of m(m-1)/2, and every member stays
+    reachable from the representative (connected-component dedup
+    intact)."""
+    m = 20
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(m), "text": ["alpha beta gamma delta epsilon zeta"] * m})
+    )
+    exact = D.minhash_lsh_pairs(docs, 0.9).collect()
+    assert len(exact) == m * (m - 1) // 2
+    capped = D.minhash_lsh_pairs(docs, 0.9, bucket_cap=5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert got == {(0, i) for i in range(1, m)}
+
+
+def test_band_bucket_stats_telemetry(spark, docs):
+    """Occupancy telemetry: per-band bucket stats are consistent with
+    the candidate volume the pair generator actually produces."""
+    shh = D.shingle_hashes(docs)
+    sig = D.minhash_signatures_from_hashes(shh)
+    entries = D._minhash_band_entries(sig)
+    stats = {r["band"]: r for r in D.band_bucket_stats(entries).collect()}
+    assert set(stats) == set(range(D.LSH_BANDS))
+    n_pairs = D.band_bucket_pairs(entries, ["id"]).count()
+    assert n_pairs == sum(r["candidate_pairs"] for r in stats.values())
