@@ -1193,9 +1193,16 @@ def _hist_reservoir_sql(size: int = 256, alpha: float = 0.15, interval: int = 86
     deterministic md5 uniform — order-free, so plain SQL: cumulative
     window join -> ROW_NUMBER top-k -> go-metrics sample stats over
     the kept values (percentile interpolation at rank p*(n+1))."""
-    u = f"(({MD5_52_SQL.format(x=_x_)}) + 1) / 4503599627370497.0"
-    # u's md5 input: key_id || '|' || record_id (decimal string)
-    pri = u.replace(_x_, "key_id || '|' || CAST(rid AS VARCHAR)")
+    # reservoir-seed contract (contracts.py r03): h52 = affine
+    # multiply-xorshift mix of (md5_52(key_id), rid) — replayed here
+    # bit-for-bit in BIGINT arithmetic (every intermediate < 2^63)
+    from .contracts import HASH_PRIME, SEED_A, SEED_A2, SEED_B, XS, XS2
+
+    keyh = MD5_52_SQL.format(x="key_id")
+    z = f"xor(({keyh}), rid)"
+    w = f"(({SEED_A} * xor(({z}), (({z}) >> {XS}))) % {HASH_PRIME})"
+    h52 = f"(({SEED_A2} * xor(({w}), (({w}) >> {XS2})) + {SEED_B}) % {HASH_PRIME})"
+    pri = f"(({h52}) + 1) / 4503599627370497.0"
 
     def pct(p: float) -> str:
         fl = "CAST(FLOOR({p} * (n + 1)) AS BIGINT)".format(p=p)
@@ -1246,8 +1253,6 @@ def _hist_reservoir_sql(size: int = 256, alpha: float = 0.15, interval: int = 86
     ) u2
     """
 
-
-_x_ = "__X__"
 
 
 @q("hist_reservoir", _hist_reservoir_sql())

@@ -58,7 +58,7 @@ from ..timemetrics import (
     np_priorities,
     np_uniform_from_hash52,
 )
-from .datapoints import md5_52bit
+from .datapoints import h52_expr
 
 KEY_COLS = ["key_id", "group", "metric_type", "key_prefix", "key_suffix", "tags", "ref_tag"]
 
@@ -168,12 +168,11 @@ def partial_stage(dp: DataFrame, lg: LogGroup) -> DataFrame:
             ),
         )
         .withColumn(
-            # deterministic uniform seed: 52-bit md5 prefix of
-            # "key|record_id" (identical to timemetrics.det_uniform)
+            # deterministic uniform seed (contracts.py r03): md5 of
+            # the key mixed with record_id — identical to
+            # timemetrics.det_uniform and the fused kernel's numpy mix
             "h52",
-            F.when(
-                is_hist, md5_52bit(F.concat_ws("|", F.col("key_id"), F.col("record_id")))
-            ),
+            F.when(is_hist, h52_expr(F.col("key_id"), F.col("record_id"))),
         )
     )
 

@@ -64,6 +64,35 @@ def md5_52bit(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 13), 16, 10).cast("long")
 
 
+def record_id_expr(url: Column, ts_sec: Column, line_no: Column) -> Column:
+    """Native record-id (contracts.py r03): md5 of the URL (shared by
+    all the page's lines) mixed with (ts, line_no) via the exact-int64
+    multiply-xorshift contract — every intermediate < 2^63, safe under
+    ANSI; bit-identical to contracts.record_id_py and to the fused
+    kernel's numpy mix."""
+    from ..contracts import HASH_PRIME, RID_A, RID_B, RID_C, RID_M, XS
+
+    ph = md5_52bit(url)
+    y = (
+        (F.lit(RID_A) * ph) % F.lit(HASH_PRIME)
+        + F.lit(RID_B) * ts_sec.cast("long")
+        + F.lit(RID_C) * line_no.cast("long")
+    ) % F.lit(HASH_PRIME)
+    return (F.lit(RID_M) * y.bitwiseXOR(F.shiftright(y, XS))) % F.lit(HASH_PRIME)
+
+
+def h52_expr(key_id: Column, record_id: Column) -> Column:
+    """Native reservoir seed (contracts.py r03): md5 of the key mixed
+    with the record id — bit-identical to contracts.h52_py."""
+    from ..contracts import HASH_PRIME, SEED_A, SEED_A2, SEED_B, XS, XS2
+
+    z = md5_52bit(key_id).bitwiseXOR(record_id)
+    w = (F.lit(SEED_A) * z.bitwiseXOR(F.shiftright(z, XS))) % F.lit(HASH_PRIME)
+    return (
+        F.lit(SEED_A2) * w.bitwiseXOR(F.shiftright(w, XS2)) + F.lit(SEED_B)
+    ) % F.lit(HASH_PRIME)
+
+
 def _tag_pairs(lg: LogGroup, extra_tag_cols: dict[str, Column]) -> list[tuple[str, Column]]:
     """(name, value-column) for every tag, alphabetical by name
     (``datapool.go:59-69``: sort order is part of the key contract).
@@ -193,9 +222,7 @@ def datapoint_stage(
         F.lit(lg.key_prefix).alias("key_prefix"),
         tags.alias("tags"),
         ts_sec.alias("ts_sec"),
-        md5_52bit(
-            F.concat_ws("|", F.col("url"), ts_sec, F.col("line_no"))
-        ).alias("record_id"),
+        record_id_expr(F.col("url"), ts_sec, F.col("line_no")).alias("record_id"),
         F.explode(F.array(*structs)).alias("dp"),
     )
     df = df.select(

@@ -18,7 +18,6 @@ per log group, shuffling O(keys x windows) partial rows.
 
 from __future__ import annotations
 
-import hashlib
 import re
 import warnings
 from typing import Iterator
@@ -40,6 +39,19 @@ from .parse import OBS_LINES, OBS_MATCHED, make_parse_fn
 from ..contracts import FLOAT_RE as _FLOAT_RE
 from ..contracts import INT_RE as _INT_RE
 from ..contracts import STRIP_CHARS as _STRIP_CHARS
+from ..contracts import (
+    HASH_PRIME,
+    RID_A,
+    RID_B,
+    RID_C,
+    RID_M,
+    SEED_A,
+    SEED_A2,
+    SEED_B,
+    XS,
+    XS2,
+    md5_52_py,
+)
 
 
 def _strict_float(s: pd.Series) -> pd.Series:
@@ -156,13 +168,20 @@ def make_fused_frame_fn(lg: LogGroup, lookup: dict | None = None):
                 tags = pd.Series("", index=m.index)
 
             ts_sec = (m["event_ts"].astype("int64") // 1_000_000_000).astype("int64")
+            # record-id contract (contracts.py r03): md5 only per
+            # DISTINCT url (a page's many matched lines share it);
+            # the per-line id is the exact-int64 multiply-xorshift
+            # mix — the r02 per-matched-line hashlib loop was the
+            # last per-row Python in this kernel
+            url_map = {u: md5_52_py(u) for u in m["url"].unique()}
+            ph = m["url"].map(url_map).to_numpy(dtype="int64")
+            y = (
+                (RID_A * ph) % HASH_PRIME
+                + RID_B * ts_sec.to_numpy()
+                + RID_C * m["line_no"].to_numpy().astype("int64")
+            ) % HASH_PRIME
             record_id = pd.Series(
-                [
-                    int(hashlib.md5(f"{u}|{t}|{l}".encode()).hexdigest()[:13], 16)
-                    for u, t, l in zip(m["url"], ts_sec, m["line_no"])
-                ],
-                index=m.index,
-                dtype="int64",
+                (RID_M * (y ^ (y >> XS))) % HASH_PRIME, index=m.index, dtype="int64"
             )
 
             # values per reference (datapool.go:138-207), line validity
@@ -277,13 +296,18 @@ def make_fused_frame_fn(lg: LogGroup, lookup: dict | None = None):
             is_hist = dp["metric_type"].to_numpy() == "histogram"
             h52 = np.zeros(len(dp), dtype="float64")
             if is_hist.any():
-                kid = dp["key_id"].to_numpy()
-                rid = dp["record_id"].to_numpy()
+                # reservoir seed contract (contracts.py r03): md5 only
+                # per DISTINCT key; per-datapoint seed is the exact
+                # multiply-xorshift mix of (key_h, record_id)
                 idx = np.nonzero(is_hist)[0]
-                h52[idx] = [
-                    int(hashlib.md5(f"{kid[i]}|{rid[i]}".encode()).hexdigest()[:13], 16)
-                    for i in idx
-                ]
+                kid = dp["key_id"].iloc[idx]
+                kmap = {k: md5_52_py(k) for k in kid.unique()}
+                kh = kid.map(kmap).to_numpy(dtype="int64")
+                z = kh ^ dp["record_id"].to_numpy()[idx]
+                w = (SEED_A * (z ^ (z >> XS))) % HASH_PRIME
+                h52[idx] = (
+                    (SEED_A2 * (w ^ (w >> XS2)) + SEED_B) % HASH_PRIME
+                ).astype("float64")
             dp["h52"] = h52
             return local_reduce_frame(dp, lg)
 

@@ -24,6 +24,7 @@ from datetime import datetime, timezone
 import numpy as np
 
 from .config import LogGroup, PipelineConfig, TransformDef
+from .contracts import h52_py, record_id_py
 from .regexc import clean_verbose_regex
 from .timemetrics import (
     CounterState,
@@ -150,7 +151,7 @@ def parse_pages(pages: list[dict], lg: LogGroup, lookup: dict | None = None) -> 
                         tag_pairs[c] = v
             tags = " ".join(f"{n}={tag_pairs[n]}" for n in sorted(tag_pairs))
 
-            record_id = md5_52bit_py(f"{url}|{ts_sec}|{line_no}")
+            record_id = record_id_py(md5_52bit_py(url), ts_sec, line_no)
 
             # values + fan-out
             line_points = []
@@ -281,7 +282,7 @@ def aggregate(datapoints: list[dict], lg: LogGroup) -> list[dict]:
     if hist_idx:
         h52 = np.array(
             [
-                md5_52bit_py(f"{datapoints[i]['key_id']}|{datapoints[i]['record_id']}")
+                h52_py(md5_52bit_py(datapoints[i]["key_id"]), datapoints[i]["record_id"])
                 for i in hist_idx
             ],
             dtype="float64",

@@ -196,7 +196,7 @@ def streaming_histograms(dp: DataFrame, lg: LogGroup, watermark: str = "2 minute
     converges to the batch reservoir on the same input. Event-time
     timeout evicts stale keys after one zeroed snapshot
     (``datapool.go:315-334``)."""
-    import hashlib
+    import numpy as np
 
     from ..timemetrics import HistogramState, np_priorities, np_uniform_from_hash52
 
@@ -223,17 +223,16 @@ def streaming_histograms(dp: DataFrame, lg: LogGroup, watermark: str = "2 minute
             pri, rid, val, last_update = state.get
             hs._res = sorted(zip(pri, rid, val))
             hs.last_update = last_update
+        from ..contracts import HASH_PRIME, SEED_A, SEED_A2, SEED_B, XS, XS2, md5_52_py
+
+        key_h = np.int64(md5_52_py(key_id))  # one md5 per key per batch
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            h52 = pd.Series(
-                [
-                    int(hashlib.md5(f"{key_id}|{r}".encode()).hexdigest()[:13], 16)
-                    for r in pdf["record_id"]
-                ],
-                dtype="float64",
-            )
-            u = np_uniform_from_hash52(h52.to_numpy())
+            z = key_h ^ pdf["record_id"].to_numpy()
+            w = (SEED_A * (z ^ (z >> XS))) % HASH_PRIME
+            h52 = ((SEED_A2 * (w ^ (w >> XS2)) + SEED_B) % HASH_PRIME).astype("float64")
+            u = np_uniform_from_hash52(h52)
             pris = np_priorities(pdf["ts_sec"].to_numpy(), u, alpha)
             cands = [
                 (float(p), int(r), int(v))

@@ -53,10 +53,13 @@ _U_DENOM = float(1 << 52)
 
 
 def det_uniform(key: str, record_id: int) -> float:
-    """Deterministic uniform in (0, 1] from md5(key|record_id)."""
-    h = hashlib.md5(f"{key}|{record_id}".encode("utf-8")).hexdigest()
-    v = int(h[:13], 16)  # 52 bits
-    return (v + 1) / (_U_DENOM + 1)
+    """Deterministic uniform in (0, 1] from the r03 seed contract:
+    md5 of the KEY (low-cardinality) mixed with the record id via the
+    exact multiply-xorshift (contracts.h52_py) — same bits as the
+    native h52_expr and the fused kernel's numpy path."""
+    from .contracts import h52_py, md5_52_py
+
+    return (h52_py(md5_52_py(key), record_id) + 1) / (_U_DENOM + 1)
 
 
 def log_priority(alpha: float, ts: float, landmark: float, u: float) -> float:

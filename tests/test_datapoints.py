@@ -105,10 +105,10 @@ def test_key_id_and_record_id_deterministic(spark):
     dp1 = build_datapoints(_mk_pages(spark, "v=7 f=9.8 host=h1 a=100 b=30"), lg).collect()
     dp2 = build_datapoints(_mk_pages(spark, "v=7 f=9.8 host=h1 a=100 b=30"), lg).collect()
     assert sorted(r["record_id"] for r in dp1) == sorted(r["record_id"] for r in dp2)
-    import hashlib
+    from logmetrics_spark.contracts import md5_52_py, record_id_py
 
     ts = int(pd.Timestamp("2024-02-01 00:00:05").timestamp())
-    expect = int(hashlib.md5(f"https://x/p|{ts}|0".encode()).hexdigest()[:13], 16)
+    expect = record_id_py(md5_52_py("https://x/p"), ts, 0)
     assert dp1[0]["record_id"] == expect
 
 

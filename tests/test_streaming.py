@@ -284,11 +284,10 @@ def test_streaming_histograms_converge_to_batch_reservoir(spark, rest_cfg, strea
 
     for key, recs in by_key.items():
         hs = HistogramState(size=lg.histogram_size, alpha=lg.histogram_alpha_decay)
+        from logmetrics_spark.contracts import h52_py, md5_52_py
+
         h52 = np.array(
-            [
-                int(hashlib.md5(f"{key}|{r['record_id']}".encode()).hexdigest()[:13], 16)
-                for r in recs
-            ],
+            [h52_py(md5_52_py(key), r["record_id"]) for r in recs],
             dtype="float64",
         )
         pris = np_priorities(

@@ -80,8 +80,10 @@ def test_histogram_row_path_equals_candidate_merge():
     a = HistogramState(size=10, alpha=0.15)
     for ts, v, rid in vals:
         a.update(ts, v, "key", rid)
+    from logmetrics_spark.contracts import h52_py, md5_52_py
+
     u = np_uniform_from_hash52(
-        np.array([int.from_bytes(__import__("hashlib").md5(f"key|{rid}".encode()).digest()[:7], "big") >> 4 for _, _, rid in vals], dtype="float64")
+        np.array([h52_py(md5_52_py("key"), rid) for _, _, rid in vals], dtype="float64")
     )
     pris = np_priorities(np.array([ts for ts, _, _ in vals], dtype="float64"), u, 0.15)
     b = HistogramState(size=10, alpha=0.15)
@@ -93,10 +95,10 @@ def test_histogram_row_path_equals_candidate_merge():
 
 
 def test_det_uniform_matches_np_path():
-    import hashlib
+    from logmetrics_spark.contracts import h52_py, md5_52_py
 
     for key, rid in [("k", 1), ("abc", 99), ("x|y", 12345)]:
-        h52 = int(hashlib.md5(f"{key}|{rid}".encode()).hexdigest()[:13], 16)
+        h52 = h52_py(md5_52_py(key), rid)
         assert det_uniform(key, rid) == float(np_uniform_from_hash52(np.array([h52]))[0])
 
 
@@ -221,3 +223,34 @@ def test_meter_ewma_closed_form_matches_state(ticks, tick_seconds, boundary_gap)
         assert got == pytest.approx(closed, rel=1e-9, abs=1e-300), (
             f"{ending}: state={got} closed={closed}"
         )
+
+
+def test_seed_mix_uniformity():
+    """The r03 multiply-xorshift seed contract must produce reservoir
+    uniforms indistinguishable-enough from uniform for exp-decay
+    sampling: correlated inputs (same url, consecutive lines/ts; few
+    distinct keys) must not bias the u distribution."""
+    import numpy as np
+
+    from logmetrics_spark.contracts import h52_py, md5_52_py, record_id_py
+
+    us = []
+    keys = [f"apache.req.count|histogram|host=web{k} status=200|" for k in range(3)]
+    key_h = [md5_52_py(k) for k in keys]
+    for p in range(40):
+        ph = md5_52_py(f"https://www{p}.apache.example/httpd_access/x")
+        for line in range(50):
+            rid = record_id_py(ph, 1700000000 + 15 * line, line)
+            for kh in key_h:
+                us.append((h52_py(kh, rid) + 1) / 4503599627370497.0)
+    u = np.array(us)
+    n = len(u)
+    assert abs(u.mean() - 0.5) < 0.02
+    assert abs(u.var() - 1 / 12) < 0.005
+    # coarse chi-square over 16 bins: under uniformity chi2 ~ 15 +- ~5.5;
+    # accept < 50 (catches systematic striping, not statistical noise)
+    counts, _ = np.histogram(u, bins=16, range=(0, 1))
+    chi2 = (((counts - n / 16) ** 2) / (n / 16)).sum()
+    assert chi2 < 50, f"chi2={chi2:.1f}, counts={counts}"
+    # distinct inputs should essentially never collide (52-bit space)
+    assert len(set(us)) == n
