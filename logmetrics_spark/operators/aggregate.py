@@ -431,13 +431,19 @@ def make_crunch_mapper(lg: LogGroup, global_last_w: int):
 
 def make_multi_crunch_mapper(
     lg_by_group: dict[str, LogGroup],
-    last_w_by_group: dict[str, int],
+    last_w_by_group: dict[str, int] | None,
     default: LogGroup | None = None,
 ):
     """Phase-B mapper over MIXED-group partials: each key dispatches
     to its own log group's emission parameters via the ``group``
     column — N groups share ONE shuffle and one crunch stage (the
-    single-scan pipeline's back half)."""
+    single-scan pipeline's back half).
+
+    ``last_w_by_group=None`` switches to the LAZY gating contract: the
+    input frames carry a ``glw`` column (per-group global last window,
+    broadcast-joined upstream by :func:`crunch_emissions_lazy`) and the
+    bound is read per key from the data instead of a driver-side
+    dict — no collect() ever blocks plan construction."""
 
     def _lg_of(group: str) -> LogGroup:
         got = lg_by_group.get(group, default)
@@ -462,12 +468,15 @@ def make_multi_crunch_mapper(
         rid = pdf["rid"].to_numpy()
         val = pdf["val"].to_numpy()
         ns = pdf["never_stale"].to_numpy()
+        glw = pdf["glw"].to_numpy() if last_w_by_group is None else None
         meta_arrays = {c: pdf[c].to_numpy() for c in _META}
         for k0, k1 in zip(bounds[:-1], bounds[1:]):
             meta = tuple(meta_arrays[c][k0] for c in _META)
             metric_type = meta[2]
             lg = _lg_of(meta[1])  # per-key group dispatch
-            global_last_w = last_w_by_group.get(meta[1], -1)
+            global_last_w = (
+                int(glw[k0]) if glw is not None else last_w_by_group.get(meta[1], -1)
+            )
             n_before = len(acc["ending"])
 
             def emit(boundary, ts, snap, is_dup, is_zero):
@@ -620,6 +629,37 @@ def crunch_emissions_multi(
     )
 
 
+def crunch_emissions_lazy(
+    partials: DataFrame,
+    lg_by_group: dict[str, LogGroup],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Phase B with the per-group last-window bound supplied LAZILY:
+    a broadcast join against the 1-row-per-group max(w) aggregate of
+    the (persisted) partials replaces the driver-side
+    ``agg(max(w)).collect()`` — plan construction runs ZERO jobs, the
+    whole dups/stale pipeline executes as one action, and an empty
+    input degrades to an empty result through the inner join instead
+    of a special case.
+
+    The caller should ``persist()`` the partials first: the broadcast
+    subquery and the main stage both consume them, and only ONE
+    broadcast thread exists (no stampede — the r02 failure mode needed
+    two concurrent broadcast consumers of an unpopulated cache)."""
+    spark = partials.sparkSession
+    n = num_partitions or 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    gw = partials.groupBy("group").agg(F.max("w").alias("glw"))
+    rep = (
+        _null_safe_partials(partials)
+        .join(F.broadcast(gw), "group")
+        .repartition(n, "group", "key_id")
+        .sortWithinPartitions("group", "key_id", "w", "t", "rid")
+    )
+    return rep.mapInPandas(
+        make_multi_crunch_mapper(lg_by_group, None), schema=EMISSION_SCHEMA
+    )
+
+
 def aggregate_stage(
     dp: DataFrame, lg: LogGroup, global_last_w: int | None = None
 ) -> DataFrame:
@@ -639,15 +679,12 @@ def aggregate_stage(
     if global_last_w is None:
         if not lg.send_duplicates and not lg.stale_removal:
             # fast path never reads the global bound (no heartbeat
-            # windows, no stale tail) -> skip the persist + max action
-            # entirely: the whole pipeline becomes ONE fused job
-            # (scan -> parse -> fan-out -> local reduce -> shuffle ->
-            # crunch), nothing blocks on the driver.
+            # windows, no stale tail) -> stays a single fused job
+            # with a constant -1 bound.
             return crunch_emissions(partials, lg, -1)
-        partials = partials.persist()
-        row = partials.agg(F.max("w").alias("mw")).collect()[0]
-        if row["mw"] is None:
-            partials.unpersist()
-            return partials.sparkSession.createDataFrame([], EMISSION_SCHEMA)
-        global_last_w = int(row["mw"])
+        # dups/stale: the bound is joined in lazily (broadcast 1-row
+        # per-group max) — no driver collect, still ONE action; the
+        # persist keeps the expensive parse kernel from running once
+        # for the broadcast subquery and once for the crunch.
+        return crunch_emissions_lazy(partials.persist(), {lg.name: lg})
     return crunch_emissions(partials, lg, global_last_w)

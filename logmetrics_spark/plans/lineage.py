@@ -257,7 +257,7 @@ def run_stage2_global(
     id scheme must never be double-counted into the routed output.
 
     ONE schema'd read of the whole staging tree + ONE max-w action +
-    ONE mixed-group crunch (crunch_emissions_multi) for all groups —
+    ONE mixed-group crunch (crunch_emissions_lazy) for all groups —
     the v1 per-group loop issued a schema-inference read plus a
     driver-blocking collect per group, the same serial-round-trip
     shape stage 1 was redesigned to avoid. An empty staging tree (no
@@ -265,7 +265,7 @@ def run_stage2_global(
     crashing."""
     from pyspark.errors import AnalysisException
 
-    from ..operators.aggregate import EMISSION_SCHEMA, PARTIAL_SCHEMA, crunch_emissions_multi
+    from ..operators.aggregate import EMISSION_SCHEMA, PARTIAL_SCHEMA
 
     lg_by_group = {lg.name: lg for lg in cfg.log_groups}
     routed = None
@@ -288,14 +288,13 @@ def run_stage2_global(
                 else part.filter(F.lit(False))
             )
         part = part.filter(F.col("group").isin(list(lg_by_group))).drop("u", "g")
-        rows = part.groupBy("group").agg(F.max("w").alias("mw")).collect()
-        last_w = {r["group"]: int(r["mw"]) for r in rows if r["mw"] is not None}
-        if last_w:
-            sub = part.filter(F.col("group").isin(list(last_w)))
-            emissions = crunch_emissions_multi(
-                sub, {g: lg_by_group[g] for g in last_w}, last_w
-            )
-            routed = route_stage(emissions, cfg.settings)
+        # lazy per-group bound (broadcast join over the tiny staged
+        # parquet — no driver collect; groups with no partials fall
+        # out through the inner join)
+        from ..operators.aggregate import crunch_emissions_lazy
+
+        emissions = crunch_emissions_lazy(part, lg_by_group)
+        routed = route_stage(emissions, cfg.settings)
     if routed is None:
         routed = route_stage(
             spark.createDataFrame([], EMISSION_SCHEMA), cfg.settings

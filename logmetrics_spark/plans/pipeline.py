@@ -76,22 +76,16 @@ def build_emissions(
     discrete operators with Catalyst-visible transform/fan-out exprs
     (introspectable; used by operator-level tests and lineage units).
     Both are pinned to the same oracle."""
-    from ..operators.aggregate import crunch_emissions, partial_stage
+    from ..operators.aggregate import crunch_emissions, crunch_emissions_lazy
     from ..operators.fused import fused_partials
 
     if mode == "fused":
         partials = fused_partials(pages, lg, lookup_df_to_dict(lookup) if lg.lookup else None)
         if not lg.send_duplicates and not lg.stale_removal:
             return crunch_emissions(partials, lg, -1)
-        partials = partials.persist()
-        from pyspark.sql import functions as F2
-
-        row = partials.agg(F2.max("w").alias("mw")).collect()[0]
-        if row["mw"] is None:
-            from ..operators.aggregate import EMISSION_SCHEMA
-
-            return partials.sparkSession.createDataFrame([], EMISSION_SCHEMA)
-        return crunch_emissions(partials, lg, int(row["mw"]))
+        # dups/stale: lazy broadcast bound — no driver collect, no
+        # plan-construction jobs (see crunch_emissions_lazy)
+        return crunch_emissions_lazy(partials.persist(), {lg.name: lg})
     dp = build_datapoints(pages, lg, lookup)
     return aggregate_stage(dp, lg, global_last_w)
 
@@ -110,7 +104,7 @@ def run_pipeline_multi(
 
     Routing settings come from the first config (the fixture configs
     share push_type/push_number; assert-guarded)."""
-    from ..operators.aggregate import crunch_emissions_multi
+    from ..operators.aggregate import crunch_emissions_lazy, crunch_emissions_multi
     from ..operators.fused import fused_partials_multi
 
     lookups = lookups or {}
@@ -135,21 +129,29 @@ def run_pipeline_multi(
     partials = fused_partials_multi(pages, groups)
     lg_by_group = {lg.name: lg for lg, _ in groups}
     if any(lg.send_duplicates or lg.stale_removal for lg, _ in groups):
-        partials = partials.persist()
-        rows = partials.groupBy("group").agg(F.max("w").alias("mw")).collect()
-        last_w = {r["group"]: int(r["mw"]) for r in rows if r["mw"] is not None}
-        if not last_w:
-            from ..operators.aggregate import EMISSION_SCHEMA
-
-            emissions = spark.createDataFrame([], EMISSION_SCHEMA)
-        else:
-            emissions = crunch_emissions_multi(partials, lg_by_group, last_w)
+        # lazy per-group bound via broadcast join — no driver collect,
+        # one action end to end (empty input degrades through the
+        # inner join to an empty emission table)
+        emissions = crunch_emissions_lazy(partials.persist(), lg_by_group)
     else:
         emissions = crunch_emissions_multi(
             partials, lg_by_group, {n: -1 for n in lg_by_group}
         )
     routed = route_stage(emissions, cfgs[0].settings)
     return PipelineResult(routed=routed, emissions=emissions)
+
+
+def _write_outputs(
+    spark: SparkSession, result: PipelineResult, io: TableIO | None, write: bool
+) -> None:
+    if not (write and io is not None):
+        return
+    manifest = write_routed(result.routed, io)
+    result.stats["routed_manifest"] = manifest
+    # internal stats tables (data_pool.* / pusher.*)
+    routed_back = io.read(spark, "routed")
+    io.write(pusher_stats(routed_back), "stats_pusher", manifest_extra={"kind": "stats"})
+    io.write(pool_stats(result.emissions), "stats_pool", manifest_extra={"kind": "stats"})
 
 
 def run_pipeline(
@@ -161,11 +163,20 @@ def run_pipeline(
     write: bool = True,
     mode: str = "fused",
 ) -> PipelineResult:
-    """Run every configured log group and union the routed output."""
+    """Run every configured log group and union the routed output.
+
+    In fused mode a MULTI-group config routes through
+    :func:`run_pipeline_multi`: one config with two grammars must cost
+    ONE scan of the pages table, exactly like two configs do (the
+    v2 shape built one plan per group and re-scanned per group)."""
     lookups = lookups or {}
+    if mode == "fused" and len(cfg.log_groups) > 1:
+        result = run_pipeline_multi(spark, [cfg], pages, lookups=lookups)
+        _write_outputs(spark, result, io, write)
+        return result
+
     routed_parts: list[DataFrame] = []
     emission_parts: list[DataFrame] = []
-    stats: dict = {}
 
     for lg in cfg.log_groups:
         emissions = build_emissions(pages, lg, lookups.get(lg.lookup or ""), mode=mode)
@@ -180,16 +191,6 @@ def run_pipeline(
     for part in routed_parts[1:]:
         all_routed = all_routed.unionByName(part)
 
-    if write and io is not None:
-        manifest = write_routed(all_routed, io)
-        stats["routed_manifest"] = manifest
-        # internal stats tables (data_pool.* / pusher.*)
-        routed_back = io.read(spark, "routed")
-        io.write(pusher_stats(routed_back), "stats_pusher", manifest_extra={"kind": "stats"})
-        io.write(
-            pool_stats(all_emissions),
-            "stats_pool",
-            manifest_extra={"kind": "stats"},
-        )
-
-    return PipelineResult(routed=all_routed, emissions=all_emissions, stats=stats)
+    result = PipelineResult(routed=all_routed, emissions=all_emissions, stats={})
+    _write_outputs(spark, result, io, write)
+    return result

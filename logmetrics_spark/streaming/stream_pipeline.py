@@ -358,25 +358,23 @@ def finalize_streaming_routed(spark: SparkSession, cfg, out_dir: str) -> DataFra
     )
     lg_by_group = {lg.name: lg for lg in cfg.log_groups}
     if any(lg.send_duplicates or lg.stale_removal for lg in cfg.log_groups):
-        partials = partials.persist()
-        rows = partials.groupBy("group").agg(F.max("w").alias("mw")).collect()
-        last_w = {r["group"]: int(r["mw"]) for r in rows if r["mw"] is not None}
-        if not last_w:
-            partials.unpersist()
-            return None
+        # lazy per-group bound (broadcast join, no driver collect);
+        # partials come off a tiny staged parquet table, so the
+        # broadcast subquery's extra scan is metadata-cheap — no cache
+        # to leak across periodic finalize cycles
+        from ..operators.aggregate import crunch_emissions_lazy
+
+        emissions = crunch_emissions_lazy(partials, lg_by_group)
     else:
-        last_w = {n: -1 for n in lg_by_group}
-    emissions = crunch_emissions_multi(partials, lg_by_group, last_w)
+        emissions = crunch_emissions_multi(
+            partials, lg_by_group, {n: -1 for n in lg_by_group}
+        )
     routed = route_stage(emissions, cfg.settings)
     (
         routed.write.mode("overwrite")
         .partitionBy("sink")
         .parquet(os.path.join(out_dir, "routed"))
     )
-    # the write materialized everything this DataFrame will be used
-    # for; on a periodic finalize cadence an un-released cache per
-    # cycle accumulates without bound
-    partials.unpersist()
     return routed
 
 

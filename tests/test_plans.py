@@ -318,3 +318,30 @@ def test_band_bucket_stats_telemetry(spark, docs):
     assert set(stats) == set(range(D.LSH_BANDS))
     n_pairs = D.band_bucket_pairs(entries, ["id"]).count()
     assert n_pairs == sum(r["candidate_pairs"] for r in stats.values())
+
+
+def test_dups_stale_crunch_is_lazy(spark):
+    """Building the dups/stale pipeline must run ZERO Spark jobs: the
+    per-group last-window bound is a broadcast join, not a driver
+    collect (the r02 shape blocked plan construction on a max(w)
+    action and forced a two-job run)."""
+    from logmetrics_spark.config import load_config
+    from logmetrics_spark.plans.pipeline import build_emissions
+    from logmetrics_spark.sources.synth import SynthSpec, gen_pages_pdf
+    import numpy as np
+
+    cfg = load_config("configs/apache.toml")
+    lg = cfg.log_groups[0]
+    assert lg.send_duplicates or lg.stale_removal
+    pages = spark.createDataFrame(gen_pages_pdf(np.arange(50), SynthSpec(n_rows=50)))
+    sc = spark.sparkContext
+    sc.setJobGroup("lazy-crunch-probe", "plan construction must be lazy")
+    try:
+        em = build_emissions(pages, lg, None, mode="fused")
+    finally:
+        sc.setJobGroup(None, None)
+    ids = sc.statusTracker().getJobIdsForGroup("lazy-crunch-probe")
+    assert len(ids) == 0, f"plan construction ran {len(ids)} jobs"
+    # and the plan still executes correctly (golden equality is pinned
+    # by test_golden_e2e; here just a sanity action)
+    assert em.count() > 0
