@@ -1322,6 +1322,14 @@ def q_multimodal_decode(spark, sf_dir):
     width/height/channels/mean_pixel/n_bytes value-exact. The Spark
     side exercises the REAL plumbing a codec-backed deployment uses:
     binary column -> Arrow batch -> per-payload decode -> typed rows."""
+    from .functions import multimodal as M
+
+    return M.decode_stage(_fake_media(spark, sf_dir)).orderBy("media_id")
+
+
+def _fake_media(spark, sf_dir):
+    """documents.doc_id -> (media_id, payload) with deterministic
+    LMIMG fake payloads (shared by the three multimodal entries)."""
     import pandas as _pd
 
     from .functions import multimodal as M
@@ -1339,8 +1347,74 @@ def q_multimodal_decode(spark, sf_dir):
                 }
             )
 
-    media = ids.mapInPandas(gen, "media_id long, payload binary")
-    return M.decode_stage(media).orderBy("media_id")
+    return ids.mapInPandas(gen, "media_id long, payload binary")
+
+
+def _px_hex_sql(coords_sql: str, agg_alias: str) -> str:
+    """Shared oracle core: reconstruct selected pixel BYTES of the
+    8x6x3 fake payload by hex-slicing the md5 byte stream (pixel
+    linear index idx=(y*8+x)*3+c lives at byte idx%16 of digest
+    md5(media_id:idx//16)), concatenated in (y, x, c) order — the
+    exact bytes the Spark kernel emits, compared as lowercase hex."""
+    return f"""
+    WITH m AS (SELECT doc_id AS media_id FROM documents),
+    px AS (
+      SELECT media_id, (y*8 + x)*3 + c AS idx
+      FROM m, {coords_sql}, (SELECT unnest(generate_series(0, 2)) AS c) cs
+    )
+    SELECT media_id,
+           string_agg(
+             substr(md5(media_id || ':' || CAST(idx // 16 AS VARCHAR)),
+                    2 * (idx % 16) + 1, 2),
+             '' ORDER BY idx) AS {agg_alias}
+    FROM px GROUP BY media_id
+    """
+
+
+_MM_RESIZE_SQL = f"""
+    WITH hexed AS ({_px_hex_sql(
+        "(SELECT unnest([0, 2, 4]) AS y) ys, (SELECT unnest([0, 2, 4, 6]) AS x) xs",
+        "thumb_hex")})
+    SELECT media_id, 4 AS thumb_w, 3 AS thumb_h, thumb_hex
+    FROM hexed ORDER BY media_id
+    """
+
+
+@q("multimodal_resize", _MM_RESIZE_SQL)
+def q_multimodal_resize(spark, sf_dir):
+    """Nearest-neighbor thumbnailing over binary media
+    (functions/multimodal.py resize_stage): 8x6 -> 4x3 keeps source
+    rows {0,2,4} x cols {0,2,4,6}; the oracle reconstructs those
+    exact thumb bytes from the md5 pixel stream and compares them as
+    hex. Same real-plumbing contract as multimodal_decode."""
+    from .functions import multimodal as M
+
+    thumbs = M.resize_stage(_fake_media(spark, sf_dir), out_w=4, out_h=3)
+    return thumbs.select(
+        "media_id", "thumb_w", "thumb_h", F.lower(F.hex("thumb")).alias("thumb_hex")
+    ).orderBy("media_id")
+
+
+_MM_FRAMES_SQL = f"""
+    WITH hexed AS ({_px_hex_sql(
+        "(SELECT unnest([0, 2, 4]) AS y) ys, (SELECT unnest(generate_series(0, 7)) AS x) xs",
+        "frames_hex")})
+    SELECT media_id, 3 AS n_frames, frames_hex
+    FROM hexed ORDER BY media_id
+    """
+
+
+@q("multimodal_frame_sample", _MM_FRAMES_SQL)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame sampling over binary media (functions/multimodal.py
+    frame_sample_stage): every-2nd 'frame' (pixel row) of the 6-row
+    fake video, bytes compared as hex against the md5 stream oracle."""
+    from .functions import multimodal as M
+
+    frames = M.frame_sample_stage(_fake_media(spark, sf_dir), every=2)
+    return frames.select(
+        "media_id", "n_frames", F.lower(F.hex("frames")).alias("frames_hex")
+    ).orderBy("media_id")
 
 
 # =====================================================================
