@@ -16,12 +16,18 @@ its Spark-native counterpart:
   ``datapool.go:280-307``). Partials land in a sink table; the tiny
   phase-B crunch runs as a periodic batch over it — at 100 TB/day the
   streaming job only ever holds per-(key, window) sums in state;
-- **custom stateful operator**: :func:`streaming_meters` keeps live
-  Meter state (count + EWMA 1/5/15) per key via
+- **custom stateful operators**: :func:`streaming_meters` /
+  :func:`streaming_histograms` keep live per-key state via
   ``applyInPandasWithState`` with event-time timeout for staleness —
   the direct analog of the reference's in-memory ``dp.data`` map
   (``datapool.go:40,251-279``); timed-out keys push one ZEROED
-  snapshot before eviction (``datapool.go:315-334``);
+  snapshot before eviction (``datapool.go:315-334``).
+  :func:`streaming_emissions` (r03) is the full live view: all three
+  metric types in one operator, per-interval duplicate heartbeats for
+  quiet keys (``send_duplicates``, ``datapool.go:336-355``) replaying
+  the batch heartbeat law line-for-line, and EMISSION_SCHEMA output so
+  ``route_stage`` renders live OpenTSDB put lines
+  (:func:`run_streaming_live`);
 - **end-to-end parity**: :func:`run_streaming_routed` accumulates
   associative phase-A partials per micro-batch and crunches them
   globally at finalize, so the streaming output is bit-equal to the
@@ -392,3 +398,248 @@ def run_stream_to_table(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+# ---------------------------------------------------------------------
+# Live emission-shaped stateful operator (r03): duplicate heartbeats +
+# stale zero-out + routed rendering for the LIVE view.
+#
+# The r02 live operators (streaming_meters / streaming_histograms)
+# emitted bare snapshots on update and one zeroed snapshot on timeout —
+# correct stale parity, but no per-interval re-emission of unchanged
+# keys (``send_duplicates``, reference datapool.go:336-355) and no
+# OpenTSDB line rendering. This operator emits EMISSION_SCHEMA rows
+# directly, so ``route_stage`` composes unchanged on the stream:
+#
+# - on DATA: fold the micro-batch into the per-key metric state and
+#   emit a live snapshot (ts = last_update, is_dup false). Live rows
+#   are update-stamped — the documented divergence from the batch
+#   crunch, which ticks to the window boundary first (a later update
+#   in the same window must still merge into un-ticked state);
+# - on TIMER (event-time timeout): replay the batch heartbeat law for
+#   every window boundary the watermark has passed — meters tick/decay
+#   to the boundary, counters/histograms re-emit unchanged, dup_ts
+#   advances ``interval`` per repetition, boundary B=(W+1)*interval —
+#   so heartbeat rows are LINE-IDENTICAL to the batch crunch's dup
+#   rows (test-pinned); the stale cut zeroes and removes the key at
+#   the first boundary past the TTL, exactly like the batch path.
+# ---------------------------------------------------------------------
+
+from ..operators.aggregate import EMISSION_SCHEMA, KEY_COLS
+
+_EM_META = KEY_COLS + ["never_stale"]
+
+EMISSION_STATE_SCHEMA = (
+    "count long, cur_tick long, pending long, r1 double, r5 double, r15 double, "
+    "initialized boolean, pri array<double>, rid array<long>, val array<long>, "
+    "last_update double, dup_ts long, last_emit_b long"
+)
+
+
+def streaming_emissions(dp: DataFrame, lg: LogGroup, watermark: str = "2 minutes") -> DataFrame:
+    """datapoints stream -> live EMISSION_SCHEMA rows (all metric
+    types, one stateful operator; see module comment above)."""
+    import numpy as np
+
+    from ..contracts import HASH_PRIME, SEED_A, SEED_A2, SEED_B, XS, XS2, md5_52_py
+    from ..timemetrics import (
+        CounterState,
+        HistogramState,
+        MeterState,
+        format_value,
+        np_priorities,
+        np_uniform_from_hash52,
+    )
+
+    interval = lg.interval
+    stale_secs = lg.stale_treshold_min * 60
+    send_dups = lg.send_duplicates
+    size = lg.histogram_size
+    alpha = lg.histogram_alpha_decay
+    tick = lg.ewma_interval
+
+    def _restore(metric_type, tup):
+        (count, cur_tick, pending, r1, r5, r15, initialized,
+         pri, rid, val, last_update, dup_ts, last_emit_b) = tup
+        if metric_type == "meter":
+            st = MeterState(
+                tick_seconds=tick, count=count, last_update=last_update,
+                _pending=pending, _cur_tick=cur_tick, _rates=[r1, r5, r15],
+                _initialized=initialized,
+            )
+        elif metric_type == "counter":
+            st = CounterState(count=count, last_update=last_update)
+        else:
+            st = HistogramState(size=size, alpha=alpha)
+            st._res = sorted(zip(pri, rid, val))
+            st.last_update = last_update
+        return st, dup_ts, last_emit_b
+
+    def _save(state, metric_type, st, dup_ts, last_emit_b):
+        if metric_type == "meter":
+            tup = (st.count, st._cur_tick, st._pending, st._rates[0], st._rates[1],
+                   st._rates[2], st._initialized, [], [], [],
+                   float(st.last_update), dup_ts, last_emit_b)
+        elif metric_type == "counter":
+            tup = (st.count, 0, 0, 0.0, 0.0, 0.0, False, [], [], [],
+                   float(st.last_update), dup_ts, last_emit_b)
+        else:
+            tup = (0, 0, 0, 0.0, 0.0, 0.0, False,
+                   [p for p, _, _ in st._res], [r for _, r, _ in st._res],
+                   [v for _, _, v in st._res], float(st.last_update),
+                   dup_ts, last_emit_b)
+        state.update(tup)
+
+    def update(key, pdfs, state: GroupState):
+        meta = dict(zip(_EM_META, key))
+        metric_type = meta["metric_type"]
+        never_stale = bool(meta["never_stale"])
+
+        def rows(snap, boundary, ts, is_dup, is_zero):
+            out = []
+            for ending, v in snap.items():
+                if is_zero:
+                    v = 0
+                out.append(
+                    {
+                        **{c: meta[c] for c in KEY_COLS},
+                        "boundary": int(boundary),
+                        "ending": ending,
+                        "ts": int(ts),
+                        "value_num": float(v),
+                        "value_str": format_value(v),
+                        "is_dup": is_dup,
+                        "is_zero": is_zero,
+                    }
+                )
+            return out
+
+        if state.hasTimedOut:
+            st, dup_ts, last_emit_b = _restore(metric_type, state.get)
+            wm_sec = state.getCurrentWatermarkMs() / 1000.0
+            out = []
+            while True:
+                B = last_emit_b + interval
+                if B > wm_sec:
+                    break
+                if (
+                    lg.stale_removal
+                    and not never_stale
+                    and (B - st.last_update) >= stale_secs
+                ):
+                    st.tick_to(float(B))
+                    st.zero_out()
+                    out.extend(rows(st.snapshot(), B, B, False, True))
+                    state.remove()
+                    if out:
+                        yield pd.DataFrame(out)
+                    return
+                if not send_dups:
+                    # no heartbeats configured: nothing to emit until
+                    # the stale deadline — jump straight there
+                    last_emit_b = B
+                    continue
+                st.tick_to(float(B))
+                dup_ts = (dup_ts if dup_ts > 0 else int(st.last_update)) + interval
+                out.extend(rows(st.snapshot(), B, dup_ts, True, False))
+                last_emit_b = B
+            _save(state, metric_type, st, dup_ts, last_emit_b)
+            state.setTimeoutTimestamp((last_emit_b + interval) * 1000)
+            if out:
+                yield pd.DataFrame(out)
+            return
+
+        if state.exists:
+            st, dup_ts, last_emit_b = _restore(metric_type, state.get)
+        else:
+            if metric_type == "meter":
+                st = MeterState(tick_seconds=tick)
+            elif metric_type == "counter":
+                st = CounterState()
+            else:
+                st = HistogramState(size=size, alpha=alpha)
+            dup_ts, last_emit_b = 0, 0
+
+        data = pd.concat(list(pdfs)).sort_values("ts_sec")
+        if metric_type == "histogram":
+            key_h = np.int64(md5_52_py(meta["key_id"]))
+            z = key_h ^ data["record_id"].to_numpy()
+            w = (SEED_A * (z ^ (z >> XS))) % HASH_PRIME
+            h52 = ((SEED_A2 * (w ^ (w >> XS2)) + SEED_B) % HASH_PRIME).astype("float64")
+            pris = np_priorities(
+                data["ts_sec"].to_numpy(), np_uniform_from_hash52(h52), alpha
+            )
+            st.merge_candidates(
+                [
+                    (float(p), int(r), int(v))
+                    for p, r, v in zip(pris, data["record_id"], data["value"])
+                ],
+                float(data["ts_sec"].max()),
+            )
+        else:
+            for ts, v in zip(data["ts_sec"].to_numpy(), data["value"].to_numpy()):
+                st.update(float(ts), int(v))
+
+        # live snapshot (update-stamped; boundary = the data window's)
+        B = (int(st.last_update) // interval + 1) * interval
+        dup_ts, last_emit_b = 0, B  # a real push resets the dup clock
+        _save(state, metric_type, st, dup_ts, last_emit_b)
+        # next timer: the first heartbeat boundary (dups on) or the
+        # first boundary at/after the stale deadline (dups off);
+        # event-time timeouts must sit strictly past the current
+        # watermark (late-but-admitted data can otherwise compute a
+        # boundary the watermark already crossed)
+        wm_ms = state.getCurrentWatermarkMs()
+        if send_dups:
+            state.setTimeoutTimestamp(max((B + interval) * 1000, wm_ms + 1000))
+        else:
+            deadline = st.last_update + stale_secs
+            b_star = int(-(-deadline // interval) * interval)
+            state.setTimeoutTimestamp(max(max(b_star, B) * 1000, wm_ms + 1000))
+        yield pd.DataFrame(rows(st.snapshot(), B, int(st.last_update), False, False))
+
+    with_ts = dp.withColumn("event_time", F.col("ts_sec").cast("timestamp"))
+    return (
+        with_ts.withWatermark("event_time", watermark)
+        .groupBy(*_EM_META)
+        .applyInPandasWithState(
+            update,
+            outputStructType=EMISSION_SCHEMA,
+            stateStructType=EMISSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_streaming_live(
+    spark: SparkSession,
+    cfg,
+    pages_path: str,
+    out_dir: str,
+    watermark: str = "0 seconds",
+    available_now: bool = True,
+):
+    """LIVE routed put-lines: pages file-stream -> datapoints ->
+    streaming_emissions (heartbeats + stale parity) -> route_stage ->
+    parquet sink. The streaming counterpart of the batch
+    pipeline's route stage — snapshots leave as rendered OpenTSDB
+    lines, not bare state dumps."""
+    import os
+
+    from ..operators.route import route_stage
+
+    stream = read_pages_stream(spark, pages_path)
+    routed_parts = []
+    for lg in cfg.log_groups:
+        em = streaming_emissions(streaming_datapoints(stream, lg), lg, watermark)
+        routed_parts.append(route_stage(em, cfg.settings))
+    routed = routed_parts[0]
+    for part in routed_parts[1:]:
+        routed = routed.unionByName(part)
+    return run_stream_to_table(
+        routed,
+        os.path.join(out_dir, "routed_live"),
+        os.path.join(out_dir, "ck_live"),
+        available_now=available_now,
+    )

@@ -305,3 +305,60 @@ def test_streaming_histograms_converge_to_batch_reservoir(spark, rest_cfg, strea
         assert got["min"] == snap["min"] and got["max"] == snap["max"], key
         assert abs(got["mean"] - snap["mean"]) < 1e-9, key
         assert abs(got["p95"] - snap["p95"]) < 1e-9, key
+
+
+def test_streaming_live_heartbeats_match_batch_dups(spark, rest_cfg, tmp_path):
+    """send_duplicates parity for the LIVE view (r03): a key that goes
+    quiet keeps re-emitting unchanged snapshots at every interval
+    boundary the watermark passes, rendered through route_stage — and
+    those heartbeat LINES are byte-identical to the batch crunch's dup
+    rows for the same boundaries (meter decay included)."""
+    import pandas as pd
+
+    from logmetrics_spark.plans.pipeline import run_pipeline
+    from logmetrics_spark.streaming.stream_pipeline import run_streaming_live
+
+    line = (
+        "Jan  1 00:{m:02d}:{s:02d} {host}.example rest_a.api: blah [c:q] (10) "
+        "[bnt:1/2] [sql:3/4] [membase:1/2] [memcache:1/2] [other:1/2]"
+    )
+
+    def page(url, host, m, s):
+        return (url, pd.Timestamp("2024-01-01"), b"", line.format(host=host, m=m, s=s), "en")
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    quiet = "https://rest01.mynetwork/q"
+    active = "https://rest02.mynetwork/a"
+    batches = [
+        [page(quiet, "rest01", 0, 1), page(active, "rest02", 0, 5)],
+        [page(active, "rest02", 1, 0)],
+        [page(active, "rest02", 2, 0)],
+        [page(active, "rest02", 3, 0)],
+    ]
+    src = str(tmp_path / "pages")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(pd.DataFrame(rows, columns=cols)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/part{i}")
+        import glob as _g
+        import shutil
+
+        for f in _g.glob(f"{tmp_path}/part{i}/part-*.parquet"):
+            shutil.copy(f, f"{src}/file{i}.parquet")
+
+    q = run_streaming_live(spark, rest_cfg, src, str(tmp_path / "out"))
+    q.awaitTermination(180)
+    live = spark.read.parquet(str(tmp_path / "out" / "routed_live")).collect()
+    live_dups = {r["line"] for r in live if r["is_dup"] and "host=rest01.example" in r["tags"]}
+    assert live_dups, "no heartbeat rows for the quiet key"
+
+    all_pages = spark.createDataFrame(
+        pd.DataFrame([p for b in batches for p in b], columns=cols)
+    )
+    batch = run_pipeline(spark, rest_cfg, all_pages, write=False).routed.collect()
+    batch_dups = {r["line"] for r in batch if r["is_dup"] and "host=rest01.example" in r["tags"]}
+    missing = live_dups - batch_dups
+    assert not missing, f"live heartbeat lines not in batch dups: {sorted(missing)[:5]}"
+    # the live view must have covered more than one heartbeat boundary
+    assert len({r["boundary"] for r in live if r["is_dup"] and "host=rest01.example" in r["tags"]}) >= 2
