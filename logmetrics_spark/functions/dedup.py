@@ -457,41 +457,51 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     return per_bit.select("id", sig.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance <= max_hamming,
-    via Hamming-pigeonhole band equi-join (EXACT, recall 1.0: two
-    signatures within Hamming d must agree bit-for-bit on at least one
-    of d+1 disjoint bit bands), so the result is identical to the
-    all-pairs plan while the join is a hash equi-join on
-    (band, band_bits) — no cartesian product in the physical plan."""
-    s = simhash(docs, id_col, text_col)
+def simhash_band_entries(s: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(band, bucket, id, simhash) pigeonhole-band entries: one narrow
+    explode pass over the signature table (bucket = the band's bit
+    slice as a string, the shared band_bucket_pairs key type)."""
     n_bands = max_hamming + 1
     width = -(-SIMHASH_BITS // n_bands)  # ceil
-    bands = [
-        s.select(
-            "id",
-            "simhash",
+    entries = [
+        F.struct(
             F.lit(b).alias("band"),
             F.shiftright(F.col("simhash"), b * width)
             .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("bval"),
+            .cast("string")
+            .alias("bucket"),
         )
         for b in range(n_bands)
     ]
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
-    a = allb.alias("a")
-    b2 = allb.alias("b")
+    return s.select("id", "simhash", F.explode(F.array(*entries)).alias("bb")).select(
+        "id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming,
+    via Hamming-pigeonhole banding (EXACT, recall 1.0: two signatures
+    within Hamming d must agree bit-for-bit on at least one of d+1
+    disjoint bit bands), so the result is identical to the all-pairs
+    plan while the generation is the shared groupBy-bucket + narrow
+    pair explode (:func:`band_bucket_pairs` — one shuffle, the
+    signature table read once, no cartesian product). ``bucket_cap``
+    degrades oversized buckets (viral identical-signature families) to
+    star pairs — recall 1.0 no longer holds inside capped buckets, the
+    documented skew trade (default None = exact)."""
+    s = simhash(docs, id_col, text_col)
+    pairs = band_bucket_pairs(
+        simhash_band_entries(s, max_hamming), ["id", "simhash"], bucket_cap=bucket_cap
+    )
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(
-            b2,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .withColumn("hamming", ham.cast("int"))
+        pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
         .distinct()
@@ -547,6 +557,26 @@ EMB_LSH_BANDS = 4  # width = PLANES / BANDS = 8 bits -> 256 buckets/band
 # verify join linear-ish at the test corpus sizes while 10^8+-vector
 # corpora should run 16-bit bands (PLANES=64, BANDS=4) — wider bands
 # lower recall per band, recovered by adding bands (1-(1-p^w)^b).
+
+
+def emb_lsh_plan(n_vectors: int, target_bucket: int = 16, n_bands: int = EMB_LSH_BANDS) -> tuple[int, int]:
+    """Band-width autoscaling knob (VERDICT r02 §10): choose
+    (n_planes, n_bands) so the EXPECTED bucket occupancy for an
+    isotropic corpus stays ~``target_bucket`` — within-bucket pair
+    volume per band is n^2 / (2 * 2^width), so width must grow with
+    log2(n) or candidate generation quietly turns quadratic. Width is
+    clamped to [8, 15] bits: the signature is packed into ONE int64
+    (with_hyperplane_signature), so width * n_bands <= 60 — enough
+    through ~10^6-10^7 vectors at 4 bands. Beyond that the honest
+    fix is per-band signature columns (no shared packing limit) plus
+    more bands; noted here rather than silently under-bucketing.
+    Wider bands lower per-band recall (p^width), recovered by the
+    multi-band OR."""
+    import math
+
+    width = max(8, math.ceil(math.log2(max(n_vectors, 1) / target_bucket)))
+    width = min(width, 60 // n_bands, 15)
+    return width * n_bands, n_bands
 
 
 def hyperplanes(dim: int, n_planes: int = EMB_LSH_PLANES) -> list[list[float]]:
@@ -610,6 +640,7 @@ def embedding_neardup_lsh(
     dim: int = 64,
     n_planes: int = EMB_LSH_PLANES,
     n_bands: int = EMB_LSH_BANDS,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Scale-path embedding near-dup: random-hyperplane signature ->
     band buckets -> exact cosine only within buckets.
@@ -620,35 +651,35 @@ def embedding_neardup_lsh(
     construction (probabilistic banding — widen bands/add planes to
     trade candidate volume for recall at scale); precision 1.0. The
     deterministic planes make the whole computation reproducible in
-    ANSI SQL. Returns (id_a, id_b, cos6). Lazy — persisted signature
-    table materializes at first action (LRU-evictable, cleared by
-    clearCache/session end)."""
+    ANSI SQL. Returns (id_a, id_b, cos6). Fully lazy — no persists,
+    no side effects at build time; ``bucket_cap`` is the shared skew
+    guard (see :func:`band_bucket_pairs`)."""
     planes = hyperplanes(dim, n_planes)
     width = n_planes // n_bands
-    # persist: the band self-join consumes the signature table on both
-    # sides, and an unpersisted mapInPandas output would recompute its
-    # Python stage twice. The self-join is hinted SHUFFLE_HASH below,
-    # so no broadcast thread ever consumes the lazy cache (the
-    # stampede the r02 eager count() pin existed to defeat) — cache
-    # population happens inside the join's own map stage, once.
-    s = with_hyperplane_signature(emb, planes).persist()
-    bands = [
-        s.select(
-            "vec_id",
-            "embedding",
-            "nrm",
+    # signature stage feeds ONE consumer chain (the band explode), so
+    # no persist is needed — the groupBy-bucket generation shape
+    # (band_bucket_pairs) replaced the r02 self-join whose two sides
+    # each recomputed the Python signature stage
+    s = with_hyperplane_signature(emb, planes)
+    band_entries = [
+        F.struct(
             F.lit(b).alias("band"),
             F.shiftright(F.col("sig"), b * width)
             .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("bval"),
+            .cast("string")
+            .alias("bucket"),
         )
         for b in range(n_bands)
     ]
-    allb = bands[0]
-    for x in bands[1:]:
-        allb = allb.unionByName(x)
-    a = allb.alias("a")
-    b2 = allb.alias("b")
+    entries = s.select(
+        "vec_id", "embedding", "nrm", F.explode(F.array(*band_entries)).alias("bb")
+    ).select(
+        "vec_id", "embedding", "nrm",
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    )
+    pairs = band_bucket_pairs(
+        entries, ["vec_id", "embedding", "nrm"], bucket_cap=bucket_cap
+    )
     # dot via the shared fold; norms precomputed per vector (the
     # per-pair norm recomputation was ~2/3 of the verification cost)
     dot = F.aggregate(
@@ -662,14 +693,7 @@ def embedding_neardup_lsh(
     )
     cos = F.round(dot / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)), 6)
     return (
-        a.hint("shuffle_hash")
-        .join(
-            b2.hint("shuffle_hash"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cos6", cos)
+        pairs.withColumn("cos6", cos)
         .filter(F.col("cos6") >= threshold)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cos6")
         .distinct()

@@ -345,3 +345,30 @@ def test_dups_stale_crunch_is_lazy(spark):
     # and the plan still executes correctly (golden equality is pinned
     # by test_golden_e2e; here just a sanity action)
     assert em.count() > 0
+
+
+def test_emb_lsh_plan_knob():
+    """Band-width autoscaling: expected bucket occupancy (n / 2^width)
+    stays near the target across corpus sizes, within the packed-int64
+    width budget."""
+    for n in (1_000, 100_000, 1_000_000, 10_000_000):
+        planes, bands = D.emb_lsh_plan(n)
+        width = planes // bands
+        assert planes == width * bands and planes <= 60
+        if width < 15:  # unclamped regime: occupancy near target
+            assert n / (1 << width) <= 16.0
+    assert D.emb_lsh_plan(1_000) == (32, 4)       # floor: 8-bit bands
+    assert D.emb_lsh_plan(10**9)[0] <= 60         # int64 packing cap
+
+
+def test_emb_lsh_wide_plan_still_exact_on_clones(spark, emb):
+    """embedding_neardup_lsh under a wider autoscaled plan keeps
+    precision 1.0 (subset of exact with identical cos6)."""
+    planes, bands = D.emb_lsh_plan(5_000)
+    exact = {(r["id_a"], r["id_b"]): r["cos6"]
+             for r in D.embedding_neardup_pairs(emb, 0.3).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos6"]
+           for r in D.embedding_neardup_lsh(emb, 0.3, n_planes=planes, n_bands=bands).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
