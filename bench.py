@@ -54,9 +54,12 @@ HEADLINE = [
     "text_lang_id",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "embed_neardup_lsh",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "sessionize",
+    "multimodal_decode",
 ]
 
 

@@ -192,13 +192,18 @@ def band_bucket_pairs(
     ``bucket_cap`` is the skew guard: a bucket with more than
     ``bucket_cap`` members (a viral near-dup family — the adversarial
     case for any LSH) would alone contribute m^2/2 pairs; such buckets
-    degrade to STAR pairs (min-id member vs every other member),
-    capping their contribution at m-1 while keeping every member
-    reachable from the representative — connected-component dedup
-    (keep one per component) is unaffected when the family is mutually
-    similar, but pairwise recall within oversized buckets is
-    deliberately sacrificed. None (default) = exact all-pairs per
-    bucket (the oracle-parity mode)."""
+    degrade to CHAIN pairs over the sorted member list — each member
+    links to its next 2 neighbors (x_i with x_{i+1} and x_{i+2}),
+    ~2m pairs total. Chaining (not a min-member star: an oversized
+    bucket can contain hash-collision OUTLIERS, and a star through an
+    outlier representative fails verification for the WHOLE family —
+    observed on the 10k-member probe corpus) keeps a mutually-similar
+    family connected for component-based dedup even when isolated
+    outliers sit between members in sort order (the skip link jumps
+    them); >=2 adjacent outliers can still split a family — the
+    documented residual trade. Pairwise recall inside capped buckets
+    is deliberately sacrificed either way. None (default) = exact
+    all-pairs per bucket (the oracle-parity mode)."""
     pl = F.struct(*[F.col(c) for c in payload_cols])
     grouped = (
         entries.select("band", "bucket", pl.alias("p"))
@@ -208,27 +213,25 @@ def band_bucket_pairs(
     )
     ps = F.col("ps")
 
-    def all_pairs(df: DataFrame) -> DataFrame:
+    def pair_rows(df: DataFrame, window: int | None) -> DataFrame:
+        # pairs (x_i, x_j) for i < j <= i + window (window=None: all
+        # j > i — the exact mode); narrow double explode, no join
         e1 = df.select(ps.alias("ps"), F.posexplode(ps).alias("i", "a"))
+        ln = F.size("ps") - F.col("i") - 1
+        if window is not None:
+            ln = F.least(F.lit(window), ln)
         return e1.select(
             "a",
             F.explode(
-                F.slice(
-                    F.col("ps"),
-                    F.col("i") + 2,
-                    F.greatest(F.size("ps") - F.col("i") - 1, F.lit(0)),
-                )
+                F.slice(F.col("ps"), F.col("i") + 2, F.greatest(ln, F.lit(0)))
             ).alias("b"),
         )
 
     if bucket_cap is None:
-        return all_pairs(grouped)
+        return pair_rows(grouped, None)
     small = grouped.filter(F.size(ps) <= bucket_cap)
-    star = grouped.filter(F.size(ps) > bucket_cap).select(
-        F.element_at(ps, 1).alias("a"),
-        F.explode(F.slice(ps, 2, F.size(ps) - 1)).alias("b"),
-    )
-    return all_pairs(small).unionByName(star)
+    big = grouped.filter(F.size(ps) > bucket_cap)
+    return pair_rows(small, None).unionByName(pair_rows(big, 2))
 
 
 def band_bucket_stats(entries: DataFrame) -> DataFrame:
@@ -656,11 +659,10 @@ def embedding_neardup_lsh(
     guard (see :func:`band_bucket_pairs`)."""
     planes = hyperplanes(dim, n_planes)
     width = n_planes // n_bands
-    # signature stage feeds ONE consumer chain (the band explode), so
-    # no persist is needed — the groupBy-bucket generation shape
-    # (band_bucket_pairs) replaced the r02 self-join whose two sides
-    # each recomputed the Python signature stage
-    s = with_hyperplane_signature(emb, planes)
+    # persisted: the signature table feeds the band explode AND both
+    # verify-join sides (all SHUFFLE_HASH-hinted — no broadcast thread
+    # ever consumes the lazy cache, so no stampede, still lazy)
+    s = with_hyperplane_signature(emb, planes).persist()
     band_entries = [
         F.struct(
             F.lit(b).alias("band"),
@@ -671,30 +673,42 @@ def embedding_neardup_lsh(
         )
         for b in range(n_bands)
     ]
-    entries = s.select(
-        "vec_id", "embedding", "nrm", F.explode(F.array(*band_entries)).alias("bb")
-    ).select(
-        "vec_id", "embedding", "nrm",
-        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+    # banding carries ONLY vec_id: shipping the 64-float embedding
+    # arrays through collect_list + double explode duplicated each
+    # bucket's full array set per member row — measured OOM at a 10k
+    # viral bucket even with bucket_cap (the arrays must materialize
+    # for the cosine, so column pruning can't save the plan). The
+    # verify joins the narrow candidate pairs back through the
+    # signature table instead — the same shape as minhash's
+    # hashed-shingle verify.
+    entries = s.select("vec_id", F.explode(F.array(*band_entries)).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    pairs = band_bucket_pairs(
-        entries, ["vec_id", "embedding", "nrm"], bucket_cap=bucket_cap
+    cand = (
+        band_bucket_pairs(entries, ["vec_id"], bucket_cap=bucket_cap)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = s.hint("shuffle_hash").select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"), F.col("nrm").alias("_na")
+    )
+    eb = s.hint("shuffle_hash").select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"), F.col("nrm").alias("_nb")
     )
     # dot via the shared fold; norms precomputed per vector (the
     # per-pair norm recomputation was ~2/3 of the verification cost)
     dot = F.aggregate(
         F.zip_with(
-            F.col("a.embedding"),
-            F.col("b.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
+            F.col("_ea"), F.col("_eb"), lambda x, y: x.cast("double") * y.cast("double")
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    cos = F.round(dot / F.nullif(F.col("a.nrm") * F.col("b.nrm"), F.lit(0.0)), 6)
+    cos = F.round(dot / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)), 6)
     return (
-        pairs.withColumn("cos6", cos)
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cos6", cos)
         .filter(F.col("cos6") >= threshold)
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "cos6")
-        .distinct()
+        .select("id_a", "id_b", "cos6")
     )

@@ -27,7 +27,7 @@ Results land in BENCH/DEDUP_SCALE_r03.json (one JSON line per probe
 row) — summarized in BENCH/BASELINE.md.
 
 Usage: python scripts/dedup_scale_probe.py [sizes...]
-       (default 100000 300000 1000000; embeddings run at min/max size)
+       (default 100000 300000 1000000, docs and embeddings)
 """
 
 from __future__ import annotations
@@ -128,69 +128,92 @@ def timed(fn):
     return out, round(time.time() - t0, 2)
 
 
-def main() -> None:
-    sizes = [int(s) for s in sys.argv[1:]] or [100_000, 300_000, 1_000_000]
-    spark = get_spark(
+def _probe_session():
+    # fresh JVM state per phase: a single session accumulates listener/
+    # UI bookkeeping over the probe's hundreds of heavy stages and
+    # eventually OOMs the driver heap even at 64g (observed at stage
+    # ~594) — the probe phases are independent, so isolate them
+    return get_spark(
         "dedup_scale",
         master="local[16]",
         shuffle_partitions=64,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.ui.enabled": "false",
+            "spark.sql.ui.retainedExecutions": "10",
+        },
     )
+
+
+def main() -> None:
+    sizes = [int(s) for s in sys.argv[1:] if not s.startswith("--")] or [
+        100_000, 300_000, 1_000_000,
+    ]
+    phase = os.environ.get("PROBE_PHASE", "all")  # all | docs | emb
+    mode = "a" if os.environ.get("PROBE_APPEND") == "1" else "w"
     os.makedirs("BENCH", exist_ok=True)
-    out_fh = open("BENCH/DEDUP_SCALE_r03.json", "w")
+    out_fh = open("BENCH/DEDUP_SCALE_r03.json", mode)
+    spark = None
     try:
-        for n in sizes:
-            for viral in (False, True):
-                docs = gen_docs(spark, n, viral).persist()
-                docs.count()
-                regime = "viral" if viral else "linear"
+        if phase in ("all", "docs"):
+            spark = _probe_session()
+            for n in sizes:
+                for viral in (False, True):
+                    docs = gen_docs(spark, n, viral).persist()
+                    docs.count()
+                    regime = "viral" if viral else "linear"
 
-                # --- telemetry first (cheap counts, no pair explosion)
-                shh = D.shingle_hashes(docs)
-                sig = D.minhash_signatures_from_hashes(shh)
-                mh_stats = band_stats(D._minhash_band_entries(sig))
-                sh_stats = band_stats(
-                    D.simhash_band_entries(D.simhash(docs)).select("band", "bucket", "id")
-                )
-                emit(
-                    {
-                        "probe": "docs", "n": n, "regime": regime,
-                        "minhash_bands": mh_stats, "simhash_bands": sh_stats,
-                    },
-                    out_fh,
-                )
-
-                # --- executions: uncapped only in the linear regime
-                # (the viral uncapped candidate volume is the recorded
-                # telemetry above — generating ~2e8 pairs is the
-                # failure mode, not the experiment)
-                runs = []
-                if not viral:
-                    runs.append(("minhash_lsh", None))
-                    runs.append(("simhash", None))
-                else:
-                    runs.append(("minhash_lsh", BUCKET_CAP))
-                    runs.append(("simhash", BUCKET_CAP))
-                runs.append(("exact", None))
-                for op, cap in runs:
-                    if op == "minhash_lsh":
-                        fn = lambda: D.minhash_lsh_pairs(docs, 0.4, bucket_cap=cap).count()
-                    elif op == "simhash":
-                        fn = lambda: D.simhash_pairs(docs, 3, bucket_cap=cap).count()
-                    else:
-                        fn = lambda: D.exact_dedup(docs).filter(F.col("n_docs") > 1).count()
-                    pairs, sec = timed(fn)
+                    # --- telemetry first (cheap counts, no pair explosion)
+                    shh = D.shingle_hashes(docs)
+                    sig = D.minhash_signatures_from_hashes(shh)
+                    mh_stats = band_stats(D._minhash_band_entries(sig))
+                    sh_stats = band_stats(
+                        D.simhash_band_entries(D.simhash(docs)).select("band", "bucket", "id")
+                    )
                     emit(
                         {
-                            "probe": "docs_run", "n": n, "regime": regime,
-                            "op": op, "bucket_cap": cap, "pairs": pairs, "sec": sec,
+                            "probe": "docs", "n": n, "regime": regime,
+                            "minhash_bands": mh_stats, "simhash_bands": sh_stats,
                         },
                         out_fh,
                     )
-                docs.unpersist()
-                spark.catalog.clearCache()
 
-        for n in (sizes[0], sizes[-1]):
+                    # --- executions: uncapped only in the linear regime
+                    # (the viral uncapped candidate volume is the recorded
+                    # telemetry above — generating ~2e8 pairs is the
+                    # failure mode, not the experiment)
+                    runs = []
+                    if not viral:
+                        runs.append(("minhash_lsh", None))
+                        runs.append(("simhash", None))
+                    else:
+                        runs.append(("minhash_lsh", BUCKET_CAP))
+                        runs.append(("simhash", BUCKET_CAP))
+                    runs.append(("exact", None))
+                    for op, cap in runs:
+                        if op == "minhash_lsh":
+                            fn = lambda: D.minhash_lsh_pairs(docs, 0.4, bucket_cap=cap).count()
+                        elif op == "simhash":
+                            fn = lambda: D.simhash_pairs(docs, 3, bucket_cap=cap).count()
+                        else:
+                            fn = lambda: D.exact_dedup(docs).filter(F.col("n_docs") > 1).count()
+                        pairs, sec = timed(fn)
+                        emit(
+                            {
+                                "probe": "docs_run", "n": n, "regime": regime,
+                                "op": op, "bucket_cap": cap, "pairs": pairs, "sec": sec,
+                            },
+                            out_fh,
+                        )
+                    docs.unpersist()
+                    spark.catalog.clearCache()
+            spark.stop()
+            spark = None
+
+        if phase not in ("all", "emb"):
+            return
+        spark = _probe_session()
+        for n in sizes:
             for viral in (False, True):
                 emb = gen_embeddings(spark, n, viral).persist()
                 emb.count()

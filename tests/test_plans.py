@@ -291,12 +291,14 @@ def test_minhash_lsh_planted_recall(spark):
     )
 
 
-def test_minhash_bucket_cap_star_degradation(spark):
-    """Oversized buckets degrade to star pairs under bucket_cap: a
-    viral family of m identical docs yields m-1 pairs (all through the
-    min-id representative) instead of m(m-1)/2, and every member stays
-    reachable from the representative (connected-component dedup
-    intact)."""
+def test_minhash_bucket_cap_chain_degradation(spark):
+    """Oversized buckets degrade to chain+skip pairs under bucket_cap:
+    a viral family of m identical docs yields each member linked to
+    its next two neighbors (~2m pairs) instead of m(m-1)/2, keeping
+    the family one connected component — robust to an isolated
+    hash-collision outlier in the bucket (a min-member star through an
+    outlier loses the whole family; the probe corpus hit exactly
+    that)."""
     m = 20
     docs = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(m), "text": ["alpha beta gamma delta epsilon zeta"] * m})
@@ -305,7 +307,17 @@ def test_minhash_bucket_cap_star_degradation(spark):
     assert len(exact) == m * (m - 1) // 2
     capped = D.minhash_lsh_pairs(docs, 0.9, bucket_cap=5).collect()
     got = {(r["id_a"], r["id_b"]) for r in capped}
-    assert got == {(0, i) for i in range(1, m)}
+    chain = {(i, i + 1) for i in range(m - 1)} | {(i, i + 2) for i in range(m - 2)}
+    assert got == chain
+    # one connected component over the chain
+    comp = list(range(m))
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]; x = comp[x]
+        return x
+    for a, b in got:
+        comp[find(a)] = find(b)
+    assert len({find(i) for i in range(m)}) == 1
 
 
 def test_band_bucket_stats_telemetry(spark, docs):
