@@ -1488,3 +1488,41 @@ def q_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+def _components_sql() -> str:
+    """Recursive-CTE oracle for near-dup connected components: min
+    reachable id over the SAME minhash-LSH pair set (DuckDB replays
+    the full LSH pipeline, then closes it transitively)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_sql()}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u)
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+
+
+@q("dedup_components", _components_sql())
+def q_dedup_components(spark, sf_dir):
+    """Near-dup dedup, applied: connected components over the
+    MinHash-LSH pair graph (pointer-jumping min-label propagation,
+    functions/dedup.py connected_components) — (doc_id, component)
+    for EVERY document, singletons as their own component. The DuckDB
+    oracle closes the same pair set transitively with a recursive CTE,
+    so component assignments are value-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, 0.4)
+    comp = D.connected_components(pairs).withColumnRenamed("id", "doc_id")
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("comp", F.col("doc_id")).alias("component")
+    )

@@ -712,3 +712,95 @@ def embedding_neardup_lsh(
         .filter(F.col("cos6") >= threshold)
         .select("id_a", "id_b", "cos6")
     )
+
+
+# ------------------------------------------------- connected components
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a pair table: (id, component) with
+    component = the MINIMUM id reachable from ``id`` — the step a
+    training pipeline actually runs on near-dup pairs (keep one doc
+    per component, drop the rest).
+
+    Iterative min-label propagation with POINTER JUMPING: each round
+    (a) lowers every node's label to the min label in its
+    neighborhood, (b) replaces each label by that label-node's own
+    label (path compression). Jumping makes chain-shaped components —
+    exactly what ``bucket_cap``'s chain degradation emits for viral
+    families — converge in O(log n) rounds instead of O(n).
+
+    Each round materializes the label table via ``localCheckpoint``:
+    iterative plans otherwise grow lineage without bound (the classic
+    Spark iterative-algorithm trap). Driver-side loop with one tiny
+    convergence count per round — inherent to fixpoint iteration, and
+    each action is over the (id, comp) table only, never the edges.
+    Only ids appearing in ``pairs`` are returned; callers union in
+    singletons (see :func:`dedup_near_keep`)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
+        .persist()
+    )
+    lab = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # (a) neighborhood min
+        nb = (
+            edges.join(lab.select(F.col("id").alias("v"), F.col("comp").alias("cv")), "v")
+            .groupBy("u")
+            .agg(F.min("cv").alias("nb_min"))
+            .select(F.col("u").alias("id"), "nb_min")
+        )
+        stepped = (
+            lab.join(nb, "id", "left")
+            .select("id", F.least("comp", F.coalesce("nb_min", "comp")).alias("comp"))
+        )
+        # (b) pointer jump: comp <- comp[comp]
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                ).alias("y"),
+                "comp",
+                "left",
+            )
+            .select(F.col("id"), F.least("comp", F.coalesce("comp2", "comp")).alias("comp"))
+        )
+        new_lab = jumped.localCheckpoint()
+        changed = (
+            new_lab.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    edges.unpersist()
+    return lab
+
+
+def dedup_near_keep(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply near-dup dedup: keep the min-id document of every
+    connected component of ``pairs`` plus every document that appears
+    in no pair (singletons). Left-anti join against the non-keeper
+    set — no row explosion, the exact shape of dedup_keep."""
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(drop, id_col, "left_anti")

@@ -215,3 +215,63 @@ def test_quadratic_oracle_guards(spark):
         S.cosine_topk(emb, q, 5, max_rows=10)
     # override works
     D.embedding_neardup_pairs(emb, 0.95, max_rows=None)
+
+
+def test_connected_components_vs_union_find(spark):
+    """Pointer-jumping min-label propagation equals a sequential
+    union-find on a messy random graph (multi components, cycles)."""
+    import random
+
+    rng = random.Random(11)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(260)]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expect = {}
+    roots = {}
+    for i in sorted(range(n)):
+        r = find(i)
+        roots.setdefault(r, i)  # min id per root
+        expect[i] = roots[r]
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]})
+    )
+    got = {r["id"]: r["comp"] for r in D.connected_components(pairs).collect()}
+    touched = {x for e in edges for x in e}
+    assert got == {i: expect[i] for i in touched}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 2000-node chain (the exact shape bucket_cap's chain
+    degradation emits for a viral family) must converge within the
+    pointer-jumping round budget — O(log n), not O(n)."""
+    n = 2000
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(n - 1), "id_b": range(1, n)})
+    )
+    comp = D.connected_components(pairs, max_iter=25)
+    rows = comp.collect()
+    assert len(rows) == n
+    assert all(r["comp"] == 0 for r in rows)
+
+
+def test_dedup_near_keep(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(6), "text": [f"d{i}" for i in range(6)]})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [0, 1, 3], "id_b": [1, 2, 4]})
+    )
+    kept = sorted(r["doc_id"] for r in D.dedup_near_keep(docs, pairs).collect())
+    # components {0,1,2} -> keep 0; {3,4} -> keep 3; singleton 5 kept
+    assert kept == [0, 3, 5]
