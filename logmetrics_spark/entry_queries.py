@@ -1526,3 +1526,93 @@ def q_dedup_components(spark, sf_dir):
     return docs.select("doc_id").join(comp, "doc_id", "left").select(
         "doc_id", F.coalesce("comp", F.col("doc_id")).alias("component")
     )
+
+
+# =====================================================================
+# corpus splitting / sampling / composed cleaning (training-data ops)
+# =====================================================================
+
+
+def _split_sql() -> str:
+    """Thresholds accumulate with the SAME float arithmetic as
+    sampling.with_split (0.9 + 0.05 is not the literal 0.95 in
+    binary64 — repr() round-trips the exact value into the SQL)."""
+    ratios = {"train": 0.9, "val": 0.05, "test": 0.05}
+    u = f"({MD5_52_SQL.format(x='CAST(doc_id AS VARCHAR)')}) / 4503599627370496.0"
+    names = list(ratios)
+    case = "CASE "
+    acc = 0.0
+    for name in names[:-1]:
+        acc += ratios[name]
+        case += f"WHEN {u} < {acc!r} THEN '{name}' "
+    case += f"ELSE '{names[-1]}' END"
+    return f"SELECT doc_id, {case} AS split FROM documents"
+
+
+@q("train_val_split", _split_sql())
+def q_train_val_split(spark, sf_dir):
+    """Deterministic hash split (functions/sampling.py with_split):
+    assignment is a pure expression over md5_52(doc_id) — stable under
+    corpus growth, repartitioning, and reruns."""
+    from .functions import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    return SP.with_split(d).select("doc_id", "split")
+
+
+@q(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE ({MD5_52_SQL.format(x="lang || '|' || CAST(doc_id AS VARCHAR)")})
+          / 4503599627370496.0 < 0.2
+    """,
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic ~20% per-language sample (stratum-salted hash
+    filter; functions/sampling.py stratified_sample) — shuffle-free,
+    reproducible, composes with the split hash without bias."""
+    from .functions import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    return SP.stratified_sample(d, 0.2, "lang").select("doc_id", "lang")
+
+
+def _corpus_clean_sql(min_tokens: int = 5, max_punct: float = 0.3) -> str:
+    langs = sorted(T.LANG_MARKERS)
+    sel = ", ".join(f"({_word_hits_sql(T.LANG_MARKERS[l])}) AS s_{l}" for l in langs)
+    case = "CASE "
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        for j, other in enumerate(langs):
+            if j < i:
+                conds.append(f"s_{lang} > s_{other}")
+            elif j > i:
+                conds.append(f"s_{lang} >= s_{other}")
+        case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+    WITH feat AS (
+      SELECT doc_id, text, {_TOKC_SQL} AS n_tokens,
+             CASE WHEN length(text) > 0
+                  THEN {_PUNCT_OCC} * 1.0 / length(text) ELSE 0.0 END AS punct_ratio,
+             {case} AS lang_pred
+      FROM (SELECT doc_id, text, {sel} FROM documents) s0
+    ),
+    kept AS (
+      SELECT doc_id, text, n_tokens FROM feat
+      WHERE lang_pred = 'en' AND n_tokens >= {min_tokens} AND punct_ratio <= {max_punct}
+    ),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5({_NORM_SQL}))
+    SELECT k.doc_id, k.n_tokens FROM kept k JOIN keepers USING (doc_id)
+    """
+
+
+@q("corpus_clean", _corpus_clean_sql())
+def q_corpus_clean(spark, sf_dir):
+    """The composed training-data cleaning pass (functions/text.py
+    corpus_clean): lang-ID + quality thresholds + exact dedup over the
+    survivors, one scan + one shuffle. Oracle composes the same SQL
+    fragments as the individual feature entries."""
+    d = _t(spark, sf_dir, "documents")
+    return T.corpus_clean(d)

@@ -172,3 +172,27 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     text (exact-dedup key)."""
     norm = ws_norm(F.lower(F.col(text_col)))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def corpus_clean(
+    df: DataFrame,
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed cleaning pass a training pipeline actually runs:
+    quality features + language-ID + thresholds, then exact dedup
+    (keeper = min id) over the SURVIVORS. One scan feeds all the
+    filter features (pure Catalyst exprs — they fuse into the scan
+    projection), and the only shuffle is the dedup groupBy."""
+    from .dedup import dedup_keep
+
+    feat = with_lang_id(with_quality_features(df, text_col), text_col)
+    kept = feat.filter(
+        (F.col("lang_pred") == lang)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+    )
+    return dedup_keep(kept, id_col, text_col).select(id_col, "n_tokens")

@@ -275,3 +275,45 @@ def test_dedup_near_keep(spark):
     kept = sorted(r["doc_id"] for r in D.dedup_near_keep(docs, pairs).collect())
     # components {0,1,2} -> keep 0; {3,4} -> keep 3; singleton 5 kept
     assert kept == [0, 3, 5]
+
+
+def test_with_split_properties(spark, docs):
+    from logmetrics_spark.functions import sampling as SP
+
+    out = SP.with_split(docs).select("doc_id", "split").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by) <= {"train", "val", "test"}
+    assert sum(len(v) for v in by.values()) == len(out)  # partition, no overlap
+    assert len(by["train"]) > 0.8 * len(out)
+    # stability under corpus growth: the same doc keeps its split when
+    # only half the corpus is present
+    half = SP.with_split(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    full = {r["doc_id"]: r["split"] for r in out}
+    for r in half:
+        assert full[r["doc_id"]] == r["split"]
+
+
+def test_stratified_sample_proportions(spark, docs):
+    from logmetrics_spark.functions import sampling as SP
+
+    n_by_lang = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    samp = SP.stratified_sample(docs, 0.3, "lang")
+    s_by_lang = {r["lang"]: r["n"] for r in samp.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in n_by_lang.items():
+        if n >= 50:
+            frac = s_by_lang.get(lang, 0) / n
+            assert 0.15 < frac < 0.45, f"{lang}: {frac}"
+    # deterministic: same output twice
+    a = {r["doc_id"] for r in samp.collect()}
+    b = {r["doc_id"] for r in SP.stratified_sample(docs, 0.3, "lang").collect()}
+    assert a == b
+
+
+def test_corpus_clean_composition(spark, docs):
+    out = T.corpus_clean(docs).collect()
+    assert 0 < len(out) < docs.count()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    assert all(r["n_tokens"] >= 5 for r in out)
