@@ -10,9 +10,12 @@ identically-named columns and (by construction) identical values:
 - hashes are md5-based (the engine-wide convention) — portable across
   Spark, DuckDB, and Python.
 
-The registry value is ``(fn, sql)``; ``sql=None`` marks genuinely
-non-SQL-expressible ops (EWMA scan, exp-decay reservoir, IVF probe)
-which get the driver's rows-only check plus our own pytest oracle.
+The registry value is ``(fn, sql)``. As of r02 every entry has a
+DuckDB oracle — including the ops that LOOK non-SQL-expressible:
+the EWMA scan (closed-form recurrence), the exp-decay reservoir
+(deterministic top-k by log-priority), and IVF (bit-replayed
+quantizer). ``sql=None`` remains supported for future genuinely
+weaker checks but is currently unused.
 """
 
 from __future__ import annotations
