@@ -899,7 +899,8 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _simhash_sql() -> str:
-    h = MD5_52_SQL.format(x="tok")
+    # 60-bit token hash (15 hex chars; see dedup.SIMHASH_BITS)
+    h = "CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT)"
     bits = ", ".join(
         f"SUM(CASE WHEN (({h}) // {1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
         for j in range(D.SIMHASH_BITS)

@@ -32,10 +32,14 @@ from pyspark.sql import functions as F
 MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = 4  # MINHASH_K = LSH_BANDS * LSH_ROWS
-SIMHASH_BITS = 52  # md5_52 supplies 52 independent bits; at 4 pigeon-
-# hole bands (max_hamming=3) that is 13-bit bands = 8192 buckets/band,
-# vs 256 at 32 bits — within-bucket pair volume (n^2/2^width per band)
-# is what decides whether the EXACT band join survives large n
+SIMHASH_BITS = 60  # 15 hex chars of md5 (max 2^60-1 < 2^63, exact
+# BIGINT on every engine); at 4 pigeonhole bands (max_hamming=3) that
+# is 15-bit bands = 32768 buckets/band. Width is THE simhash scale
+# ceiling: within-bucket pair volume is n^2/2^width per band, and the
+# r03 probe measured the previous 52-bit/8192-bucket space saturating
+# by ~3x10^5 docs (candidate volume super-linear, 291M at 1M docs) —
+# 60 bits buys 4x. Beyond ~10^7 docs exact simhash needs signatures
+# wider than one packed long (per-band columns), or bucket_cap.
 NGRAM_N = 3
 
 
@@ -443,7 +447,10 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     # project the base hash ONCE: referencing md5_52(tok) inside all
     # SIMHASH_BITS aggregate expressions evaluates the md5 per bit per
     # row (32x the hashing work) — same value, one evaluation
-    hs = toks.select("id", md5_52(F.col("tok")).alias("h"))
+    hs = toks.select(
+        "id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long").alias("h"),
+    )
     h = F.col("h")
     aggs = [
         F.sum(
