@@ -1620,3 +1620,45 @@ def q_corpus_clean(spark, sf_dir):
     fragments as the individual feature entries."""
     d = _t(spark, sf_dir, "documents")
     return T.corpus_clean(d)
+
+
+@q(
+    "asof_enrich",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, MAX(CAST(ROUND(value * 100) AS BIGINT)) AS last_view_cents
+          FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
+    SELECT l.event_id, l.user_id,
+           CAST(FLOOR(epoch(l.ts)) AS BIGINT) AS ts_sec,
+           -- clicks with no prior view coalesce to -1: a NULLABLE
+           -- column crosses the two engines as None (Spark collect)
+           -- vs NaN (duckdb->pandas) and would false-fail any
+           -- repr-sensitive comparison
+           CAST(COALESCE(r.last_view_cents, -1) AS BIGINT) AS last_view_cents
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_enrich(spark, sf_dir):
+    """As-of join (operators/asof.py): every click event enriched with
+    the user's most recent at-or-before view value. Spark-first
+    union+window implementation (one shuffle, log-merge cost — never a
+    range join); DuckDB replays it with its native ASOF LEFT JOIN.
+    The right side is pre-aggregated to unique (user, ts) so the
+    as-of pick is unambiguous on both engines."""
+    from .operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    left = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    right = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max(cents).alias("last_view_cents"))
+    )
+    out = asof_join(left, right, by="user_id", on="ts", value_cols=["last_view_cents"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.floor(_epoch(F.col("ts"))).cast("long").alias("ts_sec"),
+        F.coalesce("last_view_cents", F.lit(-1)).cast("long").alias("last_view_cents"),
+    )

@@ -1,0 +1,74 @@
+"""As-of join — the event-time operator Spark's join zoo lacks.
+
+For each left row, attach the LATEST right row with
+``right.ts <= left.ts`` within the same key (the "most recent prior
+observation" join: enrich each log event with the last-known config
+push, price tick, session marker...).
+
+Spark-first implementation — NOT a range join (which Catalyst plans as
+a broadcast-nested-loop or an inequality sort-merge that degrades to
+per-key quadratic when keys repeat): UNION the two streams with a
+source marker, ONE shuffle on the key, and a running
+``last(value, ignorenulls=True)`` over the event-time order. Cost is
+O((|L|+|R|) log) per key partition — the classic log-merge shape, and
+the window never holds more than the running last value per column.
+
+Ties: a right row at exactly ``left.ts`` IS visible (<=, the ASOF JOIN
+convention); among multiple right rows at the same (key, ts) the one
+with the highest tiebreaker wins — pass ``right_order`` to make that
+deterministic (defaults to the value columns themselves)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str | list[str],
+    on: str = "ts",
+    value_cols: list[str] | None = None,
+    right_order: list[str] | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row + the latest ``right``
+    values at or before its ``on`` time, per ``by`` key (null when no
+    prior right row exists).
+
+    ``value_cols``: right columns to carry (default: every right
+    column not in ``by``/``on``). Left columns pass through
+    unchanged."""
+    by = [by] if isinstance(by, str) else list(by)
+    value_cols = value_cols or [c for c in right.columns if c not in set(by) | {on}]
+    right_order = right_order or value_cols
+
+    l = left
+    for c in value_cols:
+        if c in l.columns:
+            raise ValueError(f"asof_join: left already has column {c!r}")
+    lm = l.select(
+        *by, F.col(on).alias("_t"), F.lit(1).alias("_src"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.struct(*l.columns).alias("_lrow"),
+    )
+    rm = right.select(
+        *by, F.col(on).alias("_t"), F.lit(0).alias("_src"),
+        *value_cols,
+        F.lit(None).cast(lm.schema["_lrow"].dataType).alias("_lrow"),
+    )
+    u = lm.unionByName(rm)
+    # right rows sort BEFORE left rows at equal ts (_src 0 < 1), so a
+    # same-instant observation is visible; right_order breaks same-ts
+    # right-row ties deterministically
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_t").asc(), F.col("_src").asc(), *[F.col(c).asc_nulls_first() for c in right_order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = u.select(
+        "_src", "_lrow",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    ).filter(F.col("_src") == 1)
+    return filled.select(*[F.col(f"_lrow.{c}").alias(c) for c in left.columns], *value_cols)

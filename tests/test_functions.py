@@ -317,3 +317,52 @@ def test_corpus_clean_composition(spark, docs):
     ids = [r["doc_id"] for r in out]
     assert len(ids) == len(set(ids))
     assert all(r["n_tokens"] >= 5 for r in out)
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """union+window as-of join == pandas merge_asof (direction
+    'backward', allow_exact_matches=True) on a messy random series."""
+    import numpy as np
+
+    from logmetrics_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "ts": rng.integers(0, 1000, 200),
+        "lid": np.arange(200),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 5, 80),
+        "ts": rng.integers(0, 1000, 80),
+        "v": rng.integers(0, 10**6, 80),
+    })
+    # unique right (k, ts): the as-of pick must be unambiguous
+    right = right.groupby(["k", "ts"], as_index=False)["v"].max()
+
+    got = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        by="k", on="ts", value_cols=["v"],
+    ).toPandas().sort_values("lid").reset_index(drop=True)
+
+    expect = pd.merge_asof(
+        left.sort_values("ts", kind="stable"), right.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction="backward", allow_exact_matches=True,
+    ).sort_values("lid").reset_index(drop=True)
+    assert len(got) == len(left)
+    ge = got.set_index("lid")["v"].to_dict()
+    ee = expect.set_index("lid")["v"].to_dict()
+    for lid in ee:
+        g, e = ge[lid], ee[lid]
+        assert (pd.isna(g) and pd.isna(e)) or g == e, f"lid={lid}: {g} vs {e}"
+
+
+def test_asof_join_exact_ts_visible_and_null_before_first(spark):
+    from logmetrics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1, 1, 1], "ts": [5, 10, 20]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "ts": [10, 15], "v": [7, 9]}))
+    rows = {r["ts"]: r["v"] for r in asof_join(left, right, by="k", on="ts").collect()}
+    assert rows[5] is None      # before first observation
+    assert rows[10] == 7        # same-instant observation IS visible
+    assert rows[20] == 9
