@@ -1662,3 +1662,45 @@ def q_asof_enrich(spark, sf_dir):
         F.floor(_epoch(F.col("ts"))).cast("long").alias("ts_sec"),
         F.coalesce("last_view_cents", F.lit(-1)).cast("long").alias("last_view_cents"),
     )
+
+
+@q(
+    "range_join_sessions",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) - 300 AS win_start,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + 300 AS win_end,
+             event_id AS signup_event
+      FROM events WHERE event_type = 'signup'
+    )
+    SELECT e.event_id, e.user_id, s.signup_event
+    FROM (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec
+          FROM events WHERE event_type = 'click') e
+    JOIN s ON e.user_id = s.user_id AND e.ts_sec BETWEEN s.win_start AND s.win_end
+    """,
+)
+def q_range_join_sessions(spark, sf_dir):
+    """Range join (operators/asof.py range_join): clicks landing
+    inside a +-5min window around each signup of the same user —
+    bucketized interval explosion + hash equi-join + exact BETWEEN
+    refilter (never a BroadcastNestedLoopJoin; plan test-pinned).
+    Oracle is the plain BETWEEN join."""
+    from .operators.asof import range_join
+
+    e = _t(spark, sf_dir, "events")
+    ts_sec = F.floor(_epoch(F.col("ts"))).cast("long")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", ts_sec.alias("ts_sec")
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        (ts_sec - 300).alias("win_start"),
+        (ts_sec + 300).alias("win_end"),
+        F.col("event_id").alias("signup_event"),
+    )
+    out = range_join(
+        clicks, signups, on="ts_sec", start="win_start", end="win_end",
+        by="user_id", bucket=600,
+    )
+    return out.select("event_id", "user_id", "signup_event")

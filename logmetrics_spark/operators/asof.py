@@ -72,3 +72,42 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
     ).filter(F.col("_src") == 1)
     return filled.select(*[F.col(f"_lrow.{c}").alias(c) for c in left.columns], *value_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    by: str | list[str] | None = None,
+    bucket: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join (``start <= point.on <= end``, optionally
+    also matching ``by`` keys) as an EQUI-join — never the
+    BroadcastNestedLoopJoin Catalyst plans for a raw inequality join.
+
+    Each interval explodes into the fixed-size time buckets it
+    overlaps (``sequence(floor(start/b), floor(end/b))`` — intervals
+    are typically short relative to ``bucket``, so the explosion
+    factor is ~1-2), points map to their single bucket, and the exact
+    BETWEEN predicate re-applies after the hash join. Pick ``bucket``
+    near the typical interval length: cost is
+    O(|points| + |intervals| x spans) shuffled on (bucket[, by]).
+    Inclusive on both ends (the SQL BETWEEN convention)."""
+    by = [by] if isinstance(by, str) else list(by or [])
+    b = F.lit(bucket)
+    ivals = intervals.withColumn(
+        "_bk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / b).cast("long"),
+                F.floor(F.col(end) / b).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn("_bk", F.floor(F.col(on) / b).cast("long"))
+    joined = pts.join(ivals, [*by, "_bk"]).filter(
+        F.col(on).between(F.col(start), F.col(end))
+    )
+    return joined.drop("_bk")

@@ -384,3 +384,30 @@ def test_emb_lsh_wide_plan_still_exact_on_clones(spark, emb):
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():
         assert v == exact[k]
+
+
+def test_range_join_no_nested_loop(spark):
+    """range_join must plan as a hash equi-join + filter, and its
+    result must equal the naive inequality join."""
+    import numpy as np
+
+    from logmetrics_spark.operators.asof import range_join
+
+    rng = np.random.default_rng(9)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"k": rng.integers(0, 4, 300), "ts": rng.integers(0, 5000, 300),
+                      "pid": np.arange(300)})
+    )
+    starts = rng.integers(0, 5000, 60)
+    iv = spark.createDataFrame(
+        pd.DataFrame({"k": rng.integers(0, 4, 60), "start": starts,
+                      "end": starts + rng.integers(0, 900, 60), "iid": np.arange(60)})
+    )
+    out = range_join(pts, iv, on="ts", by="k", bucket=600)
+    plan = _physical(out)
+    for node in FORBIDDEN:
+        assert node not in plan, f"{node} in range_join plan"
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    naive = pts.join(iv, "k").filter(F.col("ts").between(F.col("start"), F.col("end")))
+    expect = {(r["pid"], r["iid"]) for r in naive.collect()}
+    assert got == expect
