@@ -41,7 +41,7 @@ FLOAT_RE = r"[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
 #   key_h     = md5_52(key_id)                  (per distinct key)
 #   y         = ((RID_A*page_h) % P + RID_B*ts_sec + RID_C*line_no) % P
 #   record_id = (RID_M * (y ^ (y >> XS))) % P
-#   z         = key_h ^ record_id
+#   z         = key_h ^ (record_id & (2^52 - 1))
 #   w         = (SEED_A  * (z ^ (z >> XS ))) % P
 #   h52       = (SEED_A2 * (w ^ (w >> XS2)) + SEED_B) % P
 #   u         = (h52 + 1) / (2^52 + 1)          (reservoir uniform)
@@ -54,7 +54,15 @@ FLOAT_RE = r"[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?"
 # Bounds: P = 2^52 + 21 (prime); every multiplier is odd < 2^11, so
 # mult * x <= 2047*(2^52-1) and mult*x + SEED_B <= 2^63 - 2027 — exact
 # in signed int64 everywhere (numpy, Spark long under ANSI, DuckDB
-# BIGINT, Python int). xorshift distance 21 breaks the affine
+# BIGINT, Python int). The 52-bit operand bound needs care at two
+# spots: (a) record_id is reduced mod P, so it can carry BIT 52
+# (values in [2^52, 2^52+20], p ~ 21/2^52 per row — reachable at
+# 10^12-row scale); z therefore masks record_id to 52 bits before the
+# XOR, else SEED_A*(z^(z>>XS)) could reach ~1.83e19 > int64 max (ANSI
+# overflow on Spark, silent wrap divergence in numpy). (b) the
+# record_id finalizer's own y can also carry bit 52, but y's LOW bits
+# are then tiny (y in [2^52, 2^52+20]), so y^(y>>XS) <= 2^52 + 2^31ish
+# and RID_M * that stays under 2^63 — checked, no mask needed. xorshift distance 21 breaks the affine
 # structure (multiply-xorshift is the standard integer-hash finalizer
 # shape); uniformity of u is pinned by
 # tests/test_timemetrics.py::test_seed_mix_uniformity.
@@ -87,8 +95,11 @@ def record_id_py(page_h: int, ts_sec: int, line_no: int) -> int:
     return (RID_M * (y ^ (y >> XS))) % HASH_PRIME
 
 
+MASK52 = (1 << 52) - 1
+
+
 def h52_py(key_h: int, record_id: int) -> int:
     """Pure-python reference for the reservoir seed."""
-    z = key_h ^ record_id
+    z = key_h ^ (record_id & MASK52)
     w = (SEED_A * (z ^ (z >> XS))) % HASH_PRIME
     return (SEED_A2 * (w ^ (w >> XS2)) + SEED_B) % HASH_PRIME

@@ -1200,10 +1200,10 @@ def _hist_reservoir_sql(size: int = 256, alpha: float = 0.15, interval: int = 86
     # reservoir-seed contract (contracts.py r03): h52 = affine
     # multiply-xorshift mix of (md5_52(key_id), rid) — replayed here
     # bit-for-bit in BIGINT arithmetic (every intermediate < 2^63)
-    from .contracts import HASH_PRIME, SEED_A, SEED_A2, SEED_B, XS, XS2
+    from .contracts import HASH_PRIME, MASK52, SEED_A, SEED_A2, SEED_B, XS, XS2
 
     keyh = MD5_52_SQL.format(x="key_id")
-    z = f"xor(({keyh}), rid)"
+    z = f"xor(({keyh}), rid & {MASK52})"
     w = f"(({SEED_A} * xor(({z}), (({z}) >> {XS}))) % {HASH_PRIME})"
     h52 = f"(({SEED_A2} * xor(({w}), (({w}) >> {XS2})) + {SEED_B}) % {HASH_PRIME})"
     pri = f"(({h52}) + 1) / 4503599627370497.0"

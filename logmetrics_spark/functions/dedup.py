@@ -136,7 +136,10 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n:
     # per-doc dedup is NARROW: every (id, shingle) row of one doc
     # comes from one input row, so array_distinct before the explode
     # is exactly .distinct() after it — minus a full shuffle of the
-    # widest table in the whole dedup family
+    # widest table in the whole dedup family. PRECONDITION (r03,
+    # introduced by this narrowing): ids must be unique per input row
+    # (the documents-table contract); duplicated id rows would inflate
+    # sz/intersections where the r02 global .distinct() collapsed them
     return base.select("id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
@@ -408,6 +411,11 @@ def minhash_lsh_pairs(
             F.col("a.sz").alias("sz_a"),
             F.col("b.sz").alias("sz_b"),
         )
+        # id_a != id_b: under DIRTY input (duplicated doc ids — see the
+        # shingles precondition) the sorted-array pair generator would
+        # pair a doc with its twin; the guard keeps the output shape
+        # sane even then (the old self-join excluded this via a.id<b.id)
+        .filter(F.col("id_a") != F.col("id_b"))
         .distinct()
     )
     # exact verification ONLY on candidates: pair -> a-side hashed
@@ -503,8 +511,9 @@ def simhash_pairs(
     pair explode (:func:`band_bucket_pairs` — one shuffle, the
     signature table read once, no cartesian product). ``bucket_cap``
     degrades oversized buckets (viral identical-signature families) to
-    star pairs — recall 1.0 no longer holds inside capped buckets, the
-    documented skew trade (default None = exact)."""
+    chain+skip pairs (see band_bucket_pairs) — recall 1.0 no longer
+    holds inside capped buckets, the documented skew trade (default
+    None = exact)."""
     s = simhash(docs, id_col, text_col)
     pairs = band_bucket_pairs(
         simhash_band_entries(s, max_hamming), ["id", "simhash"], bucket_cap=bucket_cap
@@ -514,6 +523,7 @@ def simhash_pairs(
         pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .filter(F.col("id_a") != F.col("id_b"))  # dirty-input guard
         .distinct()
     )
 
@@ -694,6 +704,7 @@ def embedding_neardup_lsh(
     cand = (
         band_bucket_pairs(entries, ["vec_id"], bucket_cap=bucket_cap)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))  # dirty-input guard
         .distinct()
     )
     ea = s.hint("shuffle_hash").select(

@@ -48,14 +48,22 @@ def asof_join(
     for c in value_cols:
         if c in l.columns:
             raise ValueError(f"asof_join: left already has column {c!r}")
+    # the right VALUES travel as ONE struct, and the running fill is
+    # last(struct, ignorenulls): the whole latest right ROW wins
+    # atomically. Filling each column independently would stitch
+    # together fields from DIFFERENT right rows whenever a right
+    # value column contains NULLs (a composite row that never existed
+    # — and a divergence from merge_asof / SQL ASOF JOIN semantics).
     lm = l.select(
         *by, F.col(on).alias("_t"), F.lit(1).alias("_src"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(
+            right.select(F.struct(*value_cols).alias("_r")).schema["_r"].dataType
+        ).alias("_rrow"),
         F.struct(*l.columns).alias("_lrow"),
     )
     rm = right.select(
         *by, F.col(on).alias("_t"), F.lit(0).alias("_src"),
-        *value_cols,
+        F.struct(*value_cols).alias("_rrow"),
         F.lit(None).cast(lm.schema["_lrow"].dataType).alias("_lrow"),
     )
     u = lm.unionByName(rm)
@@ -64,14 +72,20 @@ def asof_join(
     # right-row ties deterministically
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("_t").asc(), F.col("_src").asc(), *[F.col(c).asc_nulls_first() for c in right_order])
+        .orderBy(
+            F.col("_t").asc(),
+            F.col("_src").asc(),
+            *[F.col("_rrow")[c].asc_nulls_first() for c in right_order],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = u.select(
-        "_src", "_lrow",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        "_src", "_lrow", F.last("_rrow", ignorenulls=True).over(w).alias("_rfill")
     ).filter(F.col("_src") == 1)
-    return filled.select(*[F.col(f"_lrow.{c}").alias(c) for c in left.columns], *value_cols)
+    return filled.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"_rfill.{c}").alias(c) for c in value_cols],
+    )
 
 
 def range_join(

@@ -84,9 +84,9 @@ def record_id_expr(url: Column, ts_sec: Column, line_no: Column) -> Column:
 def h52_expr(key_id: Column, record_id: Column) -> Column:
     """Native reservoir seed (contracts.py r03): md5 of the key mixed
     with the record id — bit-identical to contracts.h52_py."""
-    from ..contracts import HASH_PRIME, SEED_A, SEED_A2, SEED_B, XS, XS2
+    from ..contracts import HASH_PRIME, MASK52, SEED_A, SEED_A2, SEED_B, XS, XS2
 
-    z = md5_52bit(key_id).bitwiseXOR(record_id)
+    z = md5_52bit(key_id).bitwiseXOR(record_id.bitwiseAND(F.lit(MASK52)))
     w = (F.lit(SEED_A) * z.bitwiseXOR(F.shiftright(z, XS))) % F.lit(HASH_PRIME)
     return (
         F.lit(SEED_A2) * w.bitwiseXOR(F.shiftright(w, XS2)) + F.lit(SEED_B)

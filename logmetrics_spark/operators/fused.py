@@ -41,6 +41,7 @@ from ..contracts import INT_RE as _INT_RE
 from ..contracts import STRIP_CHARS as _STRIP_CHARS
 from ..contracts import (
     HASH_PRIME,
+    MASK52,
     RID_A,
     RID_B,
     RID_C,
@@ -303,7 +304,7 @@ def make_fused_frame_fn(lg: LogGroup, lookup: dict | None = None):
                 kid = dp["key_id"].iloc[idx]
                 kmap = {k: md5_52_py(k) for k in kid.unique()}
                 kh = kid.map(kmap).to_numpy(dtype="int64")
-                z = kh ^ dp["record_id"].to_numpy()[idx]
+                z = kh ^ (dp["record_id"].to_numpy()[idx] & MASK52)
                 w = (SEED_A * (z ^ (z >> XS))) % HASH_PRIME
                 h52[idx] = (
                     (SEED_A2 * (w ^ (w >> XS2)) + SEED_B) % HASH_PRIME

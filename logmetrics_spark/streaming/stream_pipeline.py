@@ -229,13 +229,13 @@ def streaming_histograms(dp: DataFrame, lg: LogGroup, watermark: str = "2 minute
             pri, rid, val, last_update = state.get
             hs._res = sorted(zip(pri, rid, val))
             hs.last_update = last_update
-        from ..contracts import HASH_PRIME, SEED_A, SEED_A2, SEED_B, XS, XS2, md5_52_py
+        from ..contracts import HASH_PRIME, MASK52, SEED_A, SEED_A2, SEED_B, XS, XS2, md5_52_py
 
         key_h = np.int64(md5_52_py(key_id))  # one md5 per key per batch
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            z = key_h ^ pdf["record_id"].to_numpy()
+            z = key_h ^ (pdf["record_id"].to_numpy() & MASK52)
             w = (SEED_A * (z ^ (z >> XS))) % HASH_PRIME
             h52 = ((SEED_A2 * (w ^ (w >> XS2)) + SEED_B) % HASH_PRIME).astype("float64")
             u = np_uniform_from_hash52(h52)
@@ -441,7 +441,7 @@ def streaming_emissions(dp: DataFrame, lg: LogGroup, watermark: str = "2 minutes
     types, one stateful operator; see module comment above)."""
     import numpy as np
 
-    from ..contracts import HASH_PRIME, SEED_A, SEED_A2, SEED_B, XS, XS2, md5_52_py
+    from ..contracts import HASH_PRIME, MASK52, SEED_A, SEED_A2, SEED_B, XS, XS2, md5_52_py
     from ..timemetrics import (
         CounterState,
         HistogramState,
@@ -563,7 +563,7 @@ def streaming_emissions(dp: DataFrame, lg: LogGroup, watermark: str = "2 minutes
         data = pd.concat(list(pdfs)).sort_values("ts_sec")
         if metric_type == "histogram":
             key_h = np.int64(md5_52_py(meta["key_id"]))
-            z = key_h ^ data["record_id"].to_numpy()
+            z = key_h ^ (data["record_id"].to_numpy() & MASK52)
             w = (SEED_A * (z ^ (z >> XS))) % HASH_PRIME
             h52 = ((SEED_A2 * (w ^ (w >> XS2)) + SEED_B) % HASH_PRIME).astype("float64")
             pris = np_priorities(

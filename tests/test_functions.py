@@ -366,3 +366,18 @@ def test_asof_join_exact_ts_visible_and_null_before_first(spark):
     assert rows[5] is None      # before first observation
     assert rows[10] == 7        # same-instant observation IS visible
     assert rows[20] == 9
+
+
+def test_asof_join_nullable_right_columns_stay_atomic(spark):
+    """A NULL field in the latest right row must NOT be back-filled
+    from an older right row — the whole latest row wins atomically
+    (merge_asof / SQL ASOF semantics)."""
+    from logmetrics_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "ts": [10]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "ts": [1, 2], "a": [5.0, None], "b": [None, 7.0]})
+    )
+    row = asof_join(left, right, by="k", on="ts").collect()[0]
+    assert row["b"] == 7.0
+    assert row["a"] is None, "field back-filled from an older right row"

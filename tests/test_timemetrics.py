@@ -254,3 +254,31 @@ def test_seed_mix_uniformity():
     assert chi2 < 50, f"chi2={chi2:.1f}, counts={counts}"
     # distinct inputs should essentially never collide (52-bit space)
     assert len(set(us)) == n
+
+
+def test_seed_mix_bit52_record_id_no_overflow():
+    """record_id is reduced mod P = 2^52+21, so values in
+    [2^52, 2^52+20] carry BIT 52; without the 52-bit mask the first
+    h52 round could exceed int64 (ANSI overflow on Spark, silent wrap
+    in numpy). Pin: the python reference stays inside int64 and numpy
+    agrees bit-for-bit at the boundary."""
+    import numpy as np
+
+    from logmetrics_spark.contracts import (
+        HASH_PRIME, MASK52, SEED_A, SEED_A2, SEED_B, XS, XS2, h52_py, md5_52_py,
+    )
+
+    key_h = md5_52_py("apache.request_time.duration|histogram|host=web1|p95")
+    for rid in [HASH_PRIME - 1, 1 << 52, (1 << 52) + 20, MASK52, 0]:
+        ref = h52_py(key_h, rid)
+        assert 0 <= ref < HASH_PRIME
+        # numpy replica (the fused/streaming path) — no wraparound
+        z = np.int64(key_h) ^ (np.int64(rid) & np.int64(MASK52))
+        w = (np.int64(SEED_A) * (z ^ (z >> np.int64(XS)))) % np.int64(HASH_PRIME)
+        h = (np.int64(SEED_A2) * (w ^ (w >> np.int64(XS2))) + np.int64(SEED_B)) % np.int64(HASH_PRIME)
+        assert int(h) == ref
+        # every intermediate the mix computes fits signed int64
+        zz = int(z) ^ (int(z) >> XS)
+        assert SEED_A * zz < 2**63
+        ww = int(w) ^ (int(w) >> XS2)
+        assert SEED_A2 * ww + SEED_B < 2**63
