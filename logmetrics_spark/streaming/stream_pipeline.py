@@ -624,22 +624,35 @@ def run_streaming_live(
     streaming_emissions (heartbeats + stale parity) -> route_stage ->
     parquet sink. The streaming counterpart of the batch
     pipeline's route stage — snapshots leave as rendered OpenTSDB
-    lines, not bare state dumps."""
+    lines, not bare state dumps.
+
+    ONE streaming query per log group: Spark rejects multiple
+    ``applyInPandasWithState`` operators inside a single streaming
+    query ("Multiple applyInPandasWithStates are not supported"), so
+    a multi-group config fans out into sibling queries, each with its
+    own checkpoint and a per-group sink subdirectory (read the union
+    back with ``spark.read.parquet(out_dir + "/routed_live")`` — the
+    hive-style ``lgroup=`` partitioning keeps them separable). With
+    ``available_now`` every query is started and drained; returns the
+    single query for a one-group config (the common live case), else
+    the list."""
     import os
 
     from ..operators.route import route_stage
 
     stream = read_pages_stream(spark, pages_path)
-    routed_parts = []
+    queries = []
     for lg in cfg.log_groups:
         em = streaming_emissions(streaming_datapoints(stream, lg), lg, watermark)
-        routed_parts.append(route_stage(em, cfg.settings))
-    routed = routed_parts[0]
-    for part in routed_parts[1:]:
-        routed = routed.unionByName(part)
-    return run_stream_to_table(
-        routed,
-        os.path.join(out_dir, "routed_live"),
-        os.path.join(out_dir, "ck_live"),
-        available_now=available_now,
-    )
+        routed = route_stage(em, cfg.settings)
+        q = run_stream_to_table(
+            routed,
+            os.path.join(out_dir, "routed_live", f"lgroup={lg.name}"),
+            os.path.join(out_dir, f"ck_live_{lg.name}"),
+            available_now=available_now,
+        )
+        queries.append(q)
+    if available_now:
+        for q in queries:
+            q.awaitTermination()
+    return queries[0] if len(queries) == 1 else queries

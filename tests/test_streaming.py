@@ -362,3 +362,44 @@ def test_streaming_live_heartbeats_match_batch_dups(spark, rest_cfg, tmp_path):
     assert not missing, f"live heartbeat lines not in batch dups: {sorted(missing)[:5]}"
     # the live view must have covered more than one heartbeat boundary
     assert len({r["boundary"] for r in live if r["is_dup"] and "host=rest01.example" in r["tags"]}) >= 2
+
+
+def test_streaming_live_multi_group(spark, rest_cfg, apache_cfg, tmp_path):
+    """A multi-group config fans out into one streaming query per
+    group (Spark rejects multiple applyInPandasWithState ops in one
+    query); both groups' routed lines land under per-group sink
+    partitions readable as one table."""
+    import dataclasses
+    import glob as _g
+    import shutil
+
+    import pandas as pd
+
+    from logmetrics_spark.streaming.stream_pipeline import run_streaming_live
+
+    merged = dataclasses.replace(
+        rest_cfg, log_groups=tuple(rest_cfg.log_groups) + tuple(apache_cfg.log_groups)
+    )
+    line_r = (
+        "Jan  1 00:00:01 rest01.example rest_a.api: blah [c:q] (10) "
+        "[bnt:1/2] [sql:3/4] [membase:1/2] [memcache:1/2] [other:1/2]"
+    )
+    line_a = "1.2.3.4\tx\ty\t01/Jan/2024:00:00:02 +0000\tGET\t/p\tHTTP/1.1\t200\t123\tr\tu\t456"
+    rows = [
+        ("https://rest01.mynetwork/q", pd.Timestamp("2024-01-01"), b"", line_r, "en"),
+        ("https://www1.apache.example/httpd_access/", pd.Timestamp("2024-01-01"), b"", line_a, "en"),
+    ]
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    ).coalesce(1).write.parquet(str(tmp_path / "p0"))
+    for f in _g.glob(str(tmp_path / "p0" / "part-*.parquet")):
+        shutil.copy(f, f"{src}/f0.parquet")
+    qs = run_streaming_live(spark, merged, src, str(tmp_path / "out"))
+    assert isinstance(qs, list) and len(qs) == 2  # one query per log group
+    out = spark.read.parquet(str(tmp_path / "out" / "routed_live"))
+    groups = {r["group"] for r in out.select("group").distinct().collect()}
+    assert "apache_reverse_proxy" in groups
+    assert any(g.startswith("rest") for g in groups)
+    assert all(r["line"].startswith("put ") for r in out.limit(20).collect())
