@@ -25,6 +25,8 @@ Scale notes (the 100 TB story):
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -35,11 +37,16 @@ LSH_ROWS = 4  # MINHASH_K = LSH_BANDS * LSH_ROWS
 SIMHASH_BITS = 60  # 15 hex chars of md5 (max 2^60-1 < 2^63, exact
 # BIGINT on every engine); at 4 pigeonhole bands (max_hamming=3) that
 # is 15-bit bands = 32768 buckets/band. Width is THE simhash scale
-# ceiling: within-bucket pair volume is n^2/2^width per band, and the
+# knob: within-bucket pair volume is n^2/2^width per band, and the
 # r03 probe measured the previous 52-bit/8192-bucket space saturating
 # by ~3x10^5 docs (candidate volume super-linear, 291M at 1M docs) —
-# 60 bits buys 4x. Beyond ~10^7 docs exact simhash needs signatures
-# wider than one packed long (per-band columns), or bucket_cap.
+# 60 bits buys 4x. The packed-int64 ceiling this constant used to be
+# is LIFTED in r04: :func:`simhash_bands` / :func:`simhash_pairs_wide`
+# store one signature column PER BAND (each its own int64, up to 60
+# bits per band), so total width scales to n_bands*60 bits — enough
+# for any corpus. The 60-bit packed form stays as the oracle-replayed
+# default; at ~10^7+ docs run the wide path (e.g. bits_per_band=24:
+# 16.7M buckets/band).
 NGRAM_N = 3
 
 
@@ -440,11 +447,34 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------ simhash
 
 
-def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """W-bit SimHash per doc from whitespace tokens (unit weights).
+def simhash_bands(
+    docs: DataFrame,
+    bits_per_band: int = 15,
+    n_bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-band SimHash signature columns: (id, sig_0..sig_{B-1}),
+    band b = bits [b*bpb, (b+1)*bpb) of a W = bpb*B-bit SimHash from
+    whitespace tokens (unit weights): bit_j = 1 iff sum over distinct
+    tokens of (bit_j(token_hash) ? +1 : -1) > 0.
 
-    bit_j(sig) = 1 iff sum over distinct tokens of
-    (bit_j(md5_52(token)) ? +1 : -1) > 0. Returns (id, simhash)."""
+    One int64 column PER BAND (the r04 fix for the packed-int64 width
+    ceiling VERDICT r03 §1 named): each band carries up to 60 bits, so
+    total signature width scales to n_bands*60 instead of one long's
+    60 — at 10^8 docs, bits_per_band=27 keeps expected bucket
+    occupancy near 1 where the packed form saturated at 2^15 buckets.
+
+    Token-hash bit source: bit j comes from 60-bit md5 chunks —
+    chunk 0 = hex chars 1-15 of md5(tok) (IDENTICAL to the historic
+    packed layout, so (15, 4) reproduces :func:`simhash` bit-for-bit),
+    chunk 1 = hex chars 16-30 of the same md5 (free second chunk), and
+    chunk c >= 2 = hex chars 1-15 of md5('simhash<c>:' || tok) — all
+    replayable in ANSI SQL for the oracles."""
+    if bits_per_band > 60:
+        raise ValueError("bits_per_band > 60 does not fit an exact int64 band")
+    w_total = bits_per_band * n_bands
+    n_chunks = -(-w_total // 60)
     # per-doc token dedup narrowly via array_distinct (see shingles)
     toks = docs.select(
         F.col(id_col).alias("id"),
@@ -452,27 +482,56 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             F.array_distinct(F.split(F.trim(normalized(F.col(text_col))), r"\s+"))
         ).alias("tok"),
     )
-    # project the base hash ONCE: referencing md5_52(tok) inside all
-    # SIMHASH_BITS aggregate expressions evaluates the md5 per bit per
-    # row (32x the hashing work) — same value, one evaluation
-    hs = toks.select(
-        "id",
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long").alias("h"),
-    )
-    h = F.col("h")
+    # project the chunk hashes ONCE: referencing the md5 chain inside
+    # all W aggregate expressions evaluates it per bit per row (Wx the
+    # hashing work) — same value, one evaluation per chunk
+    tok = F.col("tok")
+
+    def chunk(c: int) -> Column:
+        if c == 0:
+            src, lo = F.md5(tok), 1
+        elif c == 1:
+            src, lo = F.md5(tok), 16
+        else:
+            src, lo = F.md5(F.concat(F.lit(f"simhash{c}:"), tok)), 1
+        return F.conv(F.substring(src, lo, 15), 16, 10).cast("long")
+
+    hs = toks.select("id", *[chunk(c).alias(f"h{c}") for c in range(n_chunks)])
     aggs = [
         F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(F.col(f"h{j // 60}"), j % 60).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
         ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
+        for j in range(w_total)
     ]
     per_bit = hs.groupBy("id").agg(*aggs)
+    band_cols = []
+    for b in range(n_bands):
+        sig = None
+        for w in range(bits_per_band):
+            j = b * bits_per_band + w
+            bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = bit * F.lit(1 << w).cast("long")
+            sig = term if sig is None else sig + term
+        band_cols.append(sig.alias(f"sig_{b}"))
+    return per_bit.select("id", *band_cols)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """60-bit packed SimHash per doc: (id, simhash) — the historic
+    single-long form (the DuckDB oracle replays this exact packing).
+    Thin packer over :func:`simhash_bands` (15, 4): band b occupies
+    bits [15b, 15b+15), so the packed value is bit-identical to the
+    pre-r04 implementation."""
+    sb = simhash_bands(docs, SIMHASH_BITS // 4, 4, id_col, text_col)
     sig = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << j).cast("long")
+    for b in range(4):
+        term = F.col(f"sig_{b}") * F.lit(1 << (b * (SIMHASH_BITS // 4))).cast("long")
         sig = term if sig is None else sig + term
-    return per_bit.select("id", sig.alias("simhash"))
+    return sb.select("id", sig.alias("simhash"))
 
 
 def simhash_band_entries(s: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -519,6 +578,72 @@ def simhash_pairs(
         simhash_band_entries(s, max_hamming), ["id", "simhash"], bucket_cap=bucket_cap
     )
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+        .filter(F.col("id_a") != F.col("id_b"))  # dirty-input guard
+        .distinct()
+    )
+
+
+def simhash_pairs_wide(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits_per_band: int = 24,
+    n_bands: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming <= max_hamming over a WIDE
+    (bits_per_band * n_bands)-bit signature — the corpus-scale form of
+    :func:`simhash_pairs` with no packed-int64 width ceiling (one
+    signature column per band; see :func:`simhash_bands`).
+
+    Still EXACT by Hamming pigeonhole (n_bands >= max_hamming+1
+    disjoint bands: within distance d, at least one of d+1 bands
+    matches bit-for-bit), still the shared one-shuffle
+    :func:`band_bucket_pairs` generation — band b's bucket key IS its
+    signature column, no bit slicing. Hamming is verified across ALL
+    bands (fold over per-band XOR popcounts). Width sizing: expected
+    within-bucket pair volume per band is n^2 / 2^(bits_per_band+1) —
+    choose bits_per_band ~ log2(n / target_occupancy); 24 bits holds
+    ~2x10^8 docs at occupancy ~16, 30 bits ~10^10.
+    Returns (id_a, id_b, hamming)."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"pigeonhole needs n_bands >= max_hamming+1 ({n_bands} < {max_hamming + 1})"
+        )
+    sb = simhash_bands(docs, bits_per_band, n_bands, id_col, text_col)
+    sigs = F.array(*[F.col(f"sig_{b}") for b in range(n_bands)])
+    entries = sb.select("id", sigs.alias("sigs")).select(
+        "id",
+        "sigs",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.col("sigs").getItem(b).cast("string").alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sigs", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    pairs = band_bucket_pairs(entries, ["id", "sigs"], bucket_cap=bucket_cap)
+    ham = F.aggregate(
+        F.zip_with(
+            F.col("a.sigs"),
+            F.col("b.sigs"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     return (
         pairs.withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
@@ -575,27 +700,41 @@ EMB_LSH_BANDS = 4  # width = PLANES / BANDS = 8 bits -> 256 buckets/band
 # Band width is THE candidate-volume knob: expected within-bucket pair
 # count per band is n^2 / (2 * 2^width), so 8-bit bands keep the
 # verify join linear-ish at the test corpus sizes while 10^8+-vector
-# corpora should run 16-bit bands (PLANES=64, BANDS=4) — wider bands
-# lower recall per band, recovered by adding bands (1-(1-p^w)^b).
+# corpora autoscale wider via emb_lsh_plan — wider bands lower recall
+# per band (p^width), recovered by adding bands (1-(1-p^w)^b).
 
 
-def emb_lsh_plan(n_vectors: int, target_bucket: int = 16, n_bands: int = EMB_LSH_BANDS) -> tuple[int, int]:
+def emb_lsh_plan(
+    n_vectors: int,
+    target_bucket: int = 16,
+    n_bands: int = EMB_LSH_BANDS,
+    max_band_width: int = 60,
+) -> tuple[int, int]:
     """Band-width autoscaling knob (VERDICT r02 §10): choose
     (n_planes, n_bands) so the EXPECTED bucket occupancy for an
     isotropic corpus stays ~``target_bucket`` — within-bucket pair
     volume per band is n^2 / (2 * 2^width), so width must grow with
-    log2(n) or candidate generation quietly turns quadratic. Width is
-    clamped to [8, 15] bits: the signature is packed into ONE int64
-    (with_hyperplane_signature), so width * n_bands <= 60 — enough
-    through ~10^6-10^7 vectors at 4 bands. Beyond that the honest
-    fix is per-band signature columns (no shared packing limit) plus
-    more bands; noted here rather than silently under-bucketing.
-    Wider bands lower per-band recall (p^width), recovered by the
-    multi-band OR."""
+    log2(n) or candidate generation quietly turns quadratic.
+
+    r04: the 15-bit clamp is GONE — the signature is one int64 column
+    PER BAND (:func:`with_hyperplane_signature`), so each band's width
+    budget is a full exact int64 (60 bits, occupancy target met to
+    ~2^60 * target vectors — beyond any corpus). The residual
+    ``max_band_width`` clamp warns loudly instead of silently
+    under-bucketing (VERDICT r03 "What's wrong" §1)."""
     import math
 
     width = max(8, math.ceil(math.log2(max(n_vectors, 1) / target_bucket)))
-    width = min(width, 60 // n_bands, 15)
+    if width > max_band_width:
+        warnings.warn(
+            f"emb_lsh_plan: requested occupancy {target_bucket} at n={n_vectors} "
+            f"needs {width}-bit bands > max_band_width={max_band_width}; clamping — "
+            f"expected bucket occupancy will exceed the target "
+            f"(~{n_vectors / 2 ** max_band_width:.1f}/bucket) and candidate volume "
+            f"grows super-linearly. Raise n_bands or accept the occupancy.",
+            stacklevel=2,
+        )
+        width = max_band_width
     return width * n_bands, n_bands
 
 
@@ -620,20 +759,37 @@ def hyperplanes(dim: int, n_planes: int = EMB_LSH_PLANES) -> list[list[float]]:
 def with_hyperplane_signature(
     emb: DataFrame,
     planes: list[list[float]],
+    n_bands: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, vec) -> (id, vec, sig): one numpy matmul per Arrow batch
-    against the broadcast plane matrix; bit p = (round(vec . plane_p, 6) > 0)
-    in double math — the contract the DuckDB oracle replays via
-    list_dot_product (np.round is half-even vs HALF_UP there: a dot
-    product within ~1 ulp of a 6dp midpoint can flip one signature
-    bit, ~1e-16 per (vector, plane) — accepted; see similarity.py)."""
+    """(id, vec) -> (id, vec, sig_0..sig_{n_bands-1}, nrm): one numpy
+    matmul per Arrow batch against the broadcast plane matrix;
+    bit p = (round(vec . plane_p, 6) > 0) in double math — the
+    contract the DuckDB oracle replays via list_dot_product (np.round
+    is half-even vs HALF_UP there: a dot product within ~1 ulp of a
+    6dp midpoint can flip one signature bit, ~1e-16 per
+    (vector, plane) — accepted; see similarity.py).
+
+    ONE int64 signature column PER BAND (r04 — the fix for the
+    packed-int64 width ceiling): band b packs planes
+    [b*width, (b+1)*width), width = len(planes)/n_bands, bit w of
+    band b = plane b*width+w. With the historic (32 planes, 4 bands)
+    layout, sig_b equals the old packed (sig >> 8b) & 255 slice
+    bit-for-bit, so banding output is unchanged; wider plans (width
+    up to 60 per band) no longer share one long's bit budget."""
     import numpy as np
     import pandas as pd
 
+    n_planes = len(planes)
+    if n_planes % n_bands:
+        raise ValueError(f"n_planes={n_planes} not divisible by n_bands={n_bands}")
+    width = n_planes // n_bands
+    if width > 60:
+        raise ValueError(f"band width {width} > 60 bits does not fit an exact int64")
     pmat = np.array(planes, dtype=np.float64)  # (P, dim)
-    weights = (1 << np.arange(len(planes), dtype=np.int64)).astype(np.int64)
+    weights = (1 << np.arange(width, dtype=np.int64)).astype(np.int64)
+    sig_cols = [f"sig_{b}" for b in range(n_bands)]
 
     def mapper(batches):
         for pdf in batches:
@@ -641,16 +797,19 @@ def with_hyperplane_signature(
                 continue
             e = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             bits = np.round(e @ pmat.T, 6) > 0  # (n, P)
-            sig = (bits.astype(np.int64) * weights).sum(axis=1)
+            out = {id_col: pdf[id_col], vec_col: pdf[vec_col]}
+            for b in range(n_bands):
+                out[sig_cols[b]] = (
+                    bits[:, b * width : (b + 1) * width].astype(np.int64) * weights
+                ).sum(axis=1)
             # per-vector norm rides along so the pair verification
             # doesn't recompute it per candidate pair
-            nrm = np.sqrt((e * e).sum(axis=1))
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], vec_col: pdf[vec_col], "sig": sig, "nrm": nrm}
-            )
+            out["nrm"] = np.sqrt((e * e).sum(axis=1))
+            yield pd.DataFrame(out)
 
+    sig_schema = ", ".join(f"{c} long" for c in sig_cols)
     return emb.mapInPandas(
-        mapper, schema=f"{id_col} long, {vec_col} array<float>, sig long, nrm double"
+        mapper, schema=f"{id_col} long, {vec_col} array<float>, {sig_schema}, nrm double"
     )
 
 
@@ -675,18 +834,16 @@ def embedding_neardup_lsh(
     no side effects at build time; ``bucket_cap`` is the shared skew
     guard (see :func:`band_bucket_pairs`)."""
     planes = hyperplanes(dim, n_planes)
-    width = n_planes // n_bands
     # persisted: the signature table feeds the band explode AND both
     # verify-join sides (all SHUFFLE_HASH-hinted — no broadcast thread
     # ever consumes the lazy cache, so no stampede, still lazy)
-    s = with_hyperplane_signature(emb, planes).persist()
+    s = with_hyperplane_signature(emb, planes, n_bands).persist()
+    # band b's bucket key IS its per-band signature column — no bit
+    # slicing, no shared packing budget (width up to 60 bits/band)
     band_entries = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col("sig"), b * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .cast("string")
-            .alias("bucket"),
+            F.col(f"sig_{b}").cast("string").alias("bucket"),
         )
         for b in range(n_bands)
     ]
@@ -740,6 +897,7 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a pair table: (id, component) with
     component = the MINIMUM id reachable from ``id`` — the step a
@@ -759,7 +917,15 @@ def connected_components(
     convergence count per round — inherent to fixpoint iteration, and
     each action is over the (id, comp) table only, never the edges.
     Only ids appearing in ``pairs`` are returned; callers union in
-    singletons (see :func:`dedup_near_keep`)."""
+    singletons (see :func:`dedup_near_keep`).
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds (ADVICE r03: returning partially-propagated
+    labels silently would make dedup_near_keep under-dedup with no
+    signal; pointer jumping converges in O(log n) rounds so 50 covers
+    any component to ~2^50 nodes — exhaustion means something is
+    broken, not big). Pass a dict as ``stats`` to receive
+    ``{"rounds": r, "converged": True}`` telemetry."""
     edges = (
         pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
         .unionByName(pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v")))
@@ -771,6 +937,8 @@ def connected_components(
         .select("id", F.col("id").alias("comp"))
         .localCheckpoint()
     )
+    converged = False
+    rounds = 0
     for _ in range(max_iter):
         # (a) neighborhood min
         nb = (
@@ -804,9 +972,20 @@ def connected_components(
             .count()
         )
         lab = new_lab
+        rounds += 1
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixpoint after max_iter={max_iter} rounds — "
+            f"labels would be partially propagated (silent under-dedup downstream); "
+            f"raise max_iter (pointer jumping needs ~log2(diameter) rounds)."
+        )
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return lab
 
 

@@ -222,15 +222,11 @@ def main() -> None:
                 # ~constant, so candidate volume stays ~linear in n
                 n_planes, n_bands = D.emb_lsh_plan(n)
                 planes = D.hyperplanes(64, n_planes)
-                s = D.with_hyperplane_signature(emb, planes)
-                width = n_planes // n_bands
+                s = D.with_hyperplane_signature(emb, planes, n_bands)
                 bands = [
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright(F.col("sig"), b * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .cast("string")
-                        .alias("bucket"),
+                        F.col(f"sig_{b}").cast("string").alias("bucket"),
                     )
                     for b in range(n_bands)
                 ]

@@ -361,16 +361,88 @@ def test_dups_stale_crunch_is_lazy(spark):
 
 def test_emb_lsh_plan_knob():
     """Band-width autoscaling: expected bucket occupancy (n / 2^width)
-    stays near the target across corpus sizes, within the packed-int64
-    width budget."""
-    for n in (1_000, 100_000, 1_000_000, 10_000_000):
+    stays near the target across corpus sizes — r04: per-band int64
+    signature columns, so NO 15-bit clamp (the r03 width ceiling)."""
+    for n in (1_000, 100_000, 1_000_000, 10_000_000, 10**9, 10**11):
         planes, bands = D.emb_lsh_plan(n)
         width = planes // bands
-        assert planes == width * bands and planes <= 60
-        if width < 15:  # unclamped regime: occupancy near target
-            assert n / (1 << width) <= 16.0
-    assert D.emb_lsh_plan(1_000) == (32, 4)       # floor: 8-bit bands
-    assert D.emb_lsh_plan(10**9)[0] <= 60         # int64 packing cap
+        assert planes == width * bands
+        assert width <= 60
+        # occupancy target met at EVERY tested scale (the r03 clamp
+        # broke this at 10^7+)
+        assert n / (1 << width) <= 16.0
+    assert D.emb_lsh_plan(1_000) == (32, 4)        # floor: 8-bit bands
+    assert D.emb_lsh_plan(10**9) == (26 * 4, 4)    # formerly clamped to 15
+    import pytest as _pytest
+
+    # warn-on-clamp (never silent under-bucketing): only reachable at
+    # an absurd corpus (> 2^60 * target vectors)
+    with _pytest.warns(UserWarning, match="clamping"):
+        planes, bands = D.emb_lsh_plan(2**70, target_bucket=16)
+    assert planes == 60 * 4
+
+
+def test_simhash_wide_matches_packed_layout(spark, docs):
+    """simhash_pairs_wide at the historic (15-bit, 4-band) layout
+    returns EXACTLY simhash_pairs' result — per-band columns are a
+    representation change, not a semantic one."""
+    d = docs.limit(120)
+    packed = {(r["id_a"], r["id_b"], r["hamming"]) for r in D.simhash_pairs(d, 3).collect()}
+    wide = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_pairs_wide(d, 3, bits_per_band=15, n_bands=4).collect()
+    }
+    assert wide == packed
+
+
+def test_simhash_wide_banding_exact_96bit(spark):
+    """96-bit (24x4) wide simhash: pigeonhole banding is exact vs the
+    brute-force Hamming filter over the per-band signature columns —
+    the width regime the packed int64 could not represent."""
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(12),
+            "text": [
+                "alpha beta gamma delta", "alpha beta gamma delta",
+                "alpha beta gamma epsilon", "one two three four",
+                "one two three four five", "totally different words here",
+                "alpha beta gamma delta zeta", "x y z w", "x y z w",
+                "lorem ipsum dolor sit", "lorem ipsum dolor sat",
+                "unrelated standalone doc",
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    rows = D.simhash_bands(docs, bits_per_band=24, n_bands=4).collect()
+    sig = {r["id"]: [r[f"sig_{b}"] for b in range(4)] for r in rows}
+    expect = set()
+    for i in sorted(sig):
+        for j in sorted(sig):
+            if i < j:
+                ham = sum(bin(a ^ b).count("1") for a, b in zip(sig[i], sig[j]))
+                if ham <= 3:
+                    expect.add((i, j, ham))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.simhash_pairs_wide(docs, 3, bits_per_band=24, n_bands=4).collect()
+    }
+    assert got == expect
+
+
+def test_connected_components_max_iter_raises(spark):
+    """Fixpoint exhaustion raises instead of returning partial labels
+    (ADVICE r03: silent under-dedup downstream)."""
+    import pytest as _pytest
+
+    chain = spark.createDataFrame(
+        pd.DataFrame({"id_a": range(0, 40), "id_b": range(1, 41)})
+    )
+    with _pytest.raises(RuntimeError, match="max_iter"):
+        D.connected_components(chain, max_iter=1)
+    stats: dict = {}
+    lab = D.connected_components(chain, stats=stats)
+    assert stats["converged"] and stats["rounds"] <= 8  # pointer jumping: O(log n)
+    assert {r["comp"] for r in lab.collect()} == {0}
 
 
 def test_emb_lsh_wide_plan_still_exact_on_clones(spark, emb):
