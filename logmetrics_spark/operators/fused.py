@@ -138,6 +138,15 @@ def make_fused_frame_fn(lg: LogGroup, lookup: dict | None = None):
     ewma = lg.ewma_interval
 
     lk_cols: list[str] = list(lookup["__columns__"]) if lookup else []
+    # one plain dict per lookup column, built once per kernel: the
+    # vectorized Series.map path below needs key -> scalar maps (the
+    # "__columns__" marker row is metadata, not a joinable key)
+    lk_col_maps: list[dict] = (
+        [{k: v[ci] for k, v in lookup.items() if k != "__columns__"}
+         for ci in range(len(lk_cols))]
+        if lookup
+        else []
+    )
 
     def frame_fn(pages_pdf: pd.DataFrame) -> pd.DataFrame | None:
             m = parse_frame(pages_pdf)
@@ -156,9 +165,11 @@ def make_fused_frame_fn(lg: LogGroup, lookup: dict | None = None):
             if lookup is not None and lg.lookup is not None:
                 keyser = m[f"g{lg.lookup_key_position}"]
                 for ci, cname in enumerate(lk_cols):
-                    tag_vals[cname] = keyser.map(
-                        lambda k: lookup[k][ci] if k in lookup else "unknown"
-                    )
+                    # Series.map(dict) runs in C; missing keys -> NaN
+                    # -> "unknown" (same semantics as the per-row
+                    # closure this replaces, minus the Python-per-row
+                    # cost on the hot path)
+                    tag_vals[cname] = keyser.map(lk_col_maps[ci]).fillna("unknown")
             tags = None
             for name in sorted(tag_vals):
                 piece = f"{name}=" + tag_vals[name] if isinstance(tag_vals[name], pd.Series) else f"{name}={tag_vals[name]}"

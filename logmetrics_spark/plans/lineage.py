@@ -182,12 +182,28 @@ def run_stage1_units(
     # and the commit is safe: the unit has no lineage entry yet, so
     # resume recomputes it wholesale. (Against object stores this
     # purge is the same recursive-delete Iceberg's
-    # overwritePartitions() does transactionally.)
-    import shutil
+    # overwritePartitions() does transactionally.) The delete goes
+    # through the Hadoop FileSystem API when staging_dir carries a URI
+    # scheme (hdfs://, s3a://, ...) — shutil.rmtree on such a path
+    # silently deletes nothing (ADVICE r03), reintroducing exactly the
+    # stale-partial contamination this purge exists to prevent.
+    from urllib.parse import urlparse
 
     pending_ids = {_unit_id(p): p for p in pending}
-    for uid in pending_ids:
-        shutil.rmtree(os.path.join(staging_dir, f"u={uid}"), ignore_errors=True)
+    scheme = urlparse(staging_dir).scheme
+    if scheme in ("", "file"):
+        import shutil
+
+        local_root = staging_dir[len("file://"):] if scheme == "file" else staging_dir
+        for uid in pending_ids:
+            shutil.rmtree(os.path.join(local_root, f"u={uid}"), ignore_errors=True)
+    else:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for uid in pending_ids:
+            jpath = jvm.org.apache.hadoop.fs.Path(f"{staging_dir}/u={uid}")
+            # delete(recursive=True) returns False when absent — fine
+            jpath.getFileSystem(hconf).delete(jpath, True)
     (
         partials.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -544,7 +544,22 @@ def streaming_emissions(dp: DataFrame, lg: LogGroup, watermark: str = "2 minutes
                 out.extend(rows(st.snapshot(), B, dup_ts, True, False))
                 last_emit_b = B
             _save(state, metric_type, st, dup_ts, last_emit_b)
-            state.setTimeoutTimestamp((last_emit_b + interval) * 1000)
+            if send_dups:
+                state.setTimeoutTimestamp((last_emit_b + interval) * 1000)
+            elif lg.stale_removal and not never_stale:
+                # no heartbeats: the only future event a timer can
+                # produce is the stale zero-out — jump straight to the
+                # deadline boundary (mirror of the data path's b_star)
+                # instead of waking every interval emitting nothing
+                deadline = st.last_update + stale_secs
+                b_star = int(-(-deadline // interval) * interval)
+                state.setTimeoutTimestamp(
+                    max(max(b_star, last_emit_b + interval) * 1000,
+                        int(wm_sec * 1000) + 1000)
+                )
+            # else: dups off AND stale handling off — a timer can never
+            # emit anything for this key; leave it un-armed (the data
+            # path re-arms when the next row arrives)
             if out:
                 yield pd.DataFrame(out)
             return
@@ -592,10 +607,12 @@ def streaming_emissions(dp: DataFrame, lg: LogGroup, watermark: str = "2 minutes
         wm_ms = state.getCurrentWatermarkMs()
         if send_dups:
             state.setTimeoutTimestamp(max((B + interval) * 1000, wm_ms + 1000))
-        else:
+        elif lg.stale_removal and not never_stale:
             deadline = st.last_update + stale_secs
             b_star = int(-(-deadline // interval) * interval)
             state.setTimeoutTimestamp(max(max(b_star, B) * 1000, wm_ms + 1000))
+        # else: no heartbeats, no stale handling — nothing a timer
+        # could ever emit; don't arm one
         yield pd.DataFrame(rows(st.snapshot(), B, int(st.last_update), False, False))
 
     with_ts = dp.withColumn("event_time", F.col("ts_sec").cast("timestamp"))

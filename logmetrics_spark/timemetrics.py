@@ -53,10 +53,18 @@ _U_DENOM = float(1 << 52)
 
 
 def det_uniform(key: str, record_id: int) -> float:
-    """Deterministic uniform in (0, 1] from the r03 seed contract:
-    md5 of the KEY (low-cardinality) mixed with the record id via the
-    exact multiply-xorshift (contracts.h52_py) — same bits as the
-    native h52_expr and the fused kernel's numpy path."""
+    """Deterministic near-uniform from the r03 seed contract: md5 of
+    the KEY (low-cardinality) mixed with the record id via the exact
+    multiply-xorshift (contracts.h52_py) — same bits as the native
+    h52_expr and the fused kernel's numpy path.
+
+    Range note (ADVICE r03): h52 ranges over [0, P-1] with
+    P = 2^52 + 21, so u = (h52+1)/(2^52+1) lies in (0, P/(2^52+1)] —
+    the 21 top hash values give u marginally ABOVE 1.0 (p ~ 21/2^52
+    per row; log_priority then sees log(u) > 0, a negligible priority
+    nudge). Every engine replays the identical bits, so there is no
+    cross-engine divergence — the contract is these exact bits, not
+    an ideal (0, 1] uniform."""
     from .contracts import h52_py, md5_52_py
 
     return (h52_py(md5_52_py(key), record_id) + 1) / (_U_DENOM + 1)
