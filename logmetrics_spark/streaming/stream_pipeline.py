@@ -648,8 +648,9 @@ def run_streaming_live(
     query ("Multiple applyInPandasWithStates are not supported"), so
     a multi-group config fans out into sibling queries, each with its
     own checkpoint and a per-group sink subdirectory (read the union
-    back with ``spark.read.parquet(out_dir + "/routed_live")`` — the
-    hive-style ``lgroup=`` partitioning keeps them separable). With
+    back with :func:`read_live_union` — committed-files-only, safe
+    while the queries are running; after a full drain a plain
+    ``spark.read.parquet(out_dir + "/routed_live")`` works too). With
     ``available_now`` every query is started and drained; returns the
     single query for a one-group config (the common live case), else
     the list."""
@@ -673,3 +674,73 @@ def run_streaming_live(
         for q in queries:
             q.awaitTermination()
     return queries[0] if len(queries) == 1 else queries
+
+
+def read_live_union(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Committed-only read of the multi-group live sink union.
+
+    Each ``routed_live/lgroup=*`` subdir is its own FileStreamSink
+    root: Spark honors a sink's ``_spark_metadata`` transaction log
+    only when the read path IS the sink root, so reading each group
+    dir separately returns exactly the committed files — safe WHILE
+    the queries are live. Reading the PARENT dir instead falls back
+    to hive partition discovery over raw part files, which races
+    in-flight writers (torn/uncommitted parquet footers — observed).
+    Returns the union with the ``lgroup`` column restored. Listing
+    goes through the Hadoop FileSystem API, so URI-schemed out_dirs
+    (hdfs://, s3a://) list correctly too."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    glob_path = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/routed_live/lgroup=*")
+    fs = glob_path.getFileSystem(hconf)
+    statuses = fs.globStatus(glob_path)
+    dirs = sorted(
+        (s.getPath().toString() for s in (statuses or []) if s.isDirectory()),
+    )
+    if not dirs:
+        raise FileNotFoundError(f"no lgroup=* sink dirs under {out_dir}/routed_live")
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    out = None
+    for d in dirs:
+        name = d.rsplit("lgroup=", 1)[1]
+        try:
+            df = spark.read.parquet(d).withColumn("lgroup", F.lit(name))
+        except AnalysisException:
+            # sink created but nothing committed yet (live startup):
+            # schema can't be inferred from an empty metadata log —
+            # the group simply isn't in the union this read
+            continue
+        out = df if out is None else out.unionByName(df)
+    if out is None:
+        raise FileNotFoundError(
+            f"no committed sink output yet under {out_dir}/routed_live"
+        )
+    return out
+
+
+def monitor_live(spark: SparkSession, queries, timeout_sec: float | None = None) -> bool:
+    """Combined await/monitor for a CONTINUOUS multi-group live run
+    (``run_streaming_live(..., available_now=False)``): blocks until
+    any query in the session terminates (or ``timeout_sec`` passes),
+    then checks EVERY group query — if one failed, the healthy
+    siblings are stopped and the failure is re-raised, so a
+    multi-group deployment dies loudly instead of serving a
+    half-running live view (the per-query ``awaitTermination`` loop
+    only ever watched one group at a time).
+
+    Returns True while at least one query is still active (the
+    timeout path — call again to keep monitoring), False once all
+    have terminated cleanly."""
+    try:
+        spark.streams.awaitAnyTermination(timeout_sec)
+    except Exception:
+        # surfaced per-query below, attributed to the failed group
+        pass
+    failed = [q for q in queries if q.exception() is not None]
+    if failed:
+        for q in queries:
+            if q.isActive:
+                q.stop()
+        raise failed[0].exception()
+    return any(q.isActive for q in queries)

@@ -403,3 +403,78 @@ def test_streaming_live_multi_group(spark, rest_cfg, apache_cfg, tmp_path):
     assert "apache_reverse_proxy" in groups
     assert any(g.startswith("rest") for g in groups)
     assert all(r["line"].startswith("put ") for r in out.limit(20).collect())
+
+
+def test_streaming_live_multi_group_concurrent(spark, rest_cfg, apache_cfg, tmp_path):
+    """CONTINUOUS multi-group live run (available_now=False): both
+    group queries run SIMULTANEOUSLY — put lines from both groups land
+    under routed_live/lgroup=* while all queries are still active —
+    and monitor_live provides the combined await/monitor (timeout path
+    while active, clean False after stop, exception surfacing is
+    covered by its failed-query branch)."""
+    import dataclasses
+    import glob as _g
+    import shutil
+    import time
+
+    import pandas as pd
+
+    from logmetrics_spark.streaming.stream_pipeline import (
+        monitor_live,
+        read_live_union,
+        run_streaming_live,
+    )
+
+    merged = dataclasses.replace(
+        rest_cfg, log_groups=tuple(rest_cfg.log_groups) + tuple(apache_cfg.log_groups)
+    )
+    line_r = (
+        "Jan  1 00:00:01 rest01.example rest_a.api: blah [c:q] (10) "
+        "[bnt:1/2] [sql:3/4] [membase:1/2] [memcache:1/2] [other:1/2]"
+    )
+    line_a = "1.2.3.4\tx\ty\t01/Jan/2024:00:00:02 +0000\tGET\t/p\tHTTP/1.1\t200\t123\tr\tu\t456"
+    rows = [
+        ("https://rest01.mynetwork/q", pd.Timestamp("2024-01-01"), b"", line_r, "en"),
+        ("https://www1.apache.example/httpd_access/", pd.Timestamp("2024-01-01"), b"", line_a, "en"),
+    ]
+    src = str(tmp_path / "pages")
+    os.makedirs(src)
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
+    ).coalesce(1).write.parquet(str(tmp_path / "p0"))
+    for f in _g.glob(str(tmp_path / "p0" / "part-*.parquet")):
+        shutil.copy(f, f"{src}/f0.parquet")
+
+    qs = run_streaming_live(
+        spark, merged, src, str(tmp_path / "out"), available_now=False
+    )
+    assert isinstance(qs, list) and len(qs) == 2
+    try:
+        # both queries must be live at once (the fan-out is
+        # concurrent, not sequential drains)
+        assert all(q.isActive for q in qs)
+        deadline = time.time() + 180
+        seen: set[str] = set()
+        rows = []
+        while time.time() < deadline and len(seen) < 2:
+            assert monitor_live(spark, qs, timeout_sec=2.0), "queries died early"
+            try:
+                rows = read_live_union(spark, str(tmp_path / "out")).collect()
+            except FileNotFoundError:
+                continue  # no sink dir committed yet
+            seen = {r["lgroup"] for r in rows}
+        # committed put lines from BOTH groups observed while every
+        # query was still running — concurrent fan-out, and the
+        # committed-only union read is live-safe by construction
+        assert len(seen) == 2, f"groups that produced output while live: {seen}"
+        assert all(q.isActive for q in qs)
+        groups = {r["group"] for r in rows}
+        assert "apache_reverse_proxy" in groups and any(g.startswith("rest") for g in groups)
+        assert all(r["line"].startswith("put ") for r in rows[:20])
+    finally:
+        for q in qs:
+            if q.isActive:
+                q.stop()
+    for q in qs:
+        q.awaitTermination(60)
+    assert monitor_live(spark, qs, timeout_sec=1.0) is False
