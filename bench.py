@@ -146,6 +146,68 @@ def run_pipeline_once(cores: int, pages_path: str) -> float:
         spark.stop()
 
 
+def _raw_cpu(procs: int, dur: float = 4.0) -> int:
+    """Total busy-loop iterations of ``procs`` plain-python processes
+    over ``dur`` seconds — the host's raw-CPU delivery right now."""
+    import subprocess as sp
+
+    code = ("import time\nt0=time.time()\nn=0\n"
+            f"while time.time()-t0<{dur}: n+=sum(i*i for i in range(10000))\nprint(n)")
+    ps = [sp.Popen([sys.executable, "-c", code], stdout=sp.PIPE) for _ in range(procs)]
+    return sum(int(p.communicate()[0]) for p in ps)
+
+
+class ThrottleGate:
+    """Busy-loop throttle gate shared by BOTH bench phases (the
+    scaling trials and — new in r04, VERDICT r03 "What's wrong" §3 —
+    the headline-query loop, whose r03 driver record read ~2x slower
+    across the board from a throttle epoch straddling the bare
+    min-of-2 runs). Probes current raw-CPU rate before each expensive
+    measurement and sleeps through degraded slots, bounded by a share
+    of the wall budget. The gate only DELAYS measurements; estimators
+    stay fixed (min over all completed runs)."""
+
+    def __init__(self, probe_procs: int, budget_s: float, t_start: float,
+                 probe_dur: float = 1.5, reuse_window_s: float = 20.0):
+        self.procs = probe_procs
+        self.budget_s = budget_s
+        self.t_start = t_start
+        self.probe_dur = probe_dur
+        self.reuse_window_s = reuse_window_s
+        self.best_cal = 0.0
+        self.wait_s = 0.0
+        self._last_clean_ts = 0.0
+
+    def _probe(self) -> float:
+        return _raw_cpu(self.procs, dur=self.probe_dur) / self.probe_dur
+
+    def wait_clean_slot(self, max_wait: float = 120.0) -> float:
+        # a clean probe moments ago still vouches for this slot —
+        # don't spend 2s probing before every sub-second query run
+        if time.time() - self._last_clean_ts < self.reuse_window_s:
+            return self.best_cal
+        t0 = time.time()
+        # never spend more than 40% of the budget inside the gate —
+        # measurements, not probes, are the product
+        if self.wait_s > 0.4 * self.budget_s:
+            return 0.0
+        deadline = t0 + min(max_wait, max(0.0, self.budget_s - (t0 - self.t_start)))
+        rate = self._probe()
+        self.best_cal = max(self.best_cal, rate)
+        while rate < 0.85 * self.best_cal and time.time() + 10 < deadline:
+            time.sleep(8)
+            rate = self._probe()
+            # decay the high-water mark ~2% per probe: a single
+            # frequency-burst probe must not pin the bar so high that
+            # every later (sustainable-rate) probe reads as throttled
+            # and the gate sleeps its full window before each trial
+            self.best_cal = max(rate, 0.98 * self.best_cal)
+        self.wait_s += time.time() - t0
+        if rate >= 0.85 * self.best_cal:
+            self._last_clean_ts = time.time()
+        return rate
+
+
 def _measure_in_subprocess(cores: int, pages_path: str) -> float:
     """Each measurement gets a pristine JVM: driver-memory is a
     JVM-launch-time option and heap/GC state must not leak between
@@ -185,14 +247,6 @@ def main() -> None:
     # control experiment: raw-CPU scaling of plain python busy loops at
     # the same process counts — the environment's own ceiling, reported
     # so the pipeline efficiency can be read against it
-    def _raw_cpu(procs: int, dur: float = 4.0) -> int:
-        import subprocess as sp
-
-        code = ("import time\nt0=time.time()\nn=0\n"
-                f"while time.time()-t0<{dur}: n+=sum(i*i for i in range(10000))\nprint(n)")
-        ps = [sp.Popen([sys.executable, "-c", code], stdout=sp.PIPE) for _ in range(procs)]
-        return sum(int(p.communicate()[0]) for p in ps)
-
     raw_lo = _raw_cpu(lo_cores)
     raw_hi = _raw_cpu(hi_cores)
     raw_eff = (raw_hi / raw_lo) / (hi_cores / lo_cores)
@@ -223,34 +277,10 @@ def main() -> None:
     # budget on measurements that can actually reach the machine's
     # un-throttled truth. The gate only DELAYS trials; every completed
     # trial still enters the fixed min-over-all estimator.
-    best_cal = 0.0
-    gate_wait_s = 0.0
+    gate = ThrottleGate(probe_procs=hi_cores, budget_s=budget_s, t_start=t_start)
 
     def _wait_clean_slot(max_wait: float = 120.0) -> float:
-        nonlocal best_cal
-
-        def probe() -> float:
-            return _raw_cpu(hi_cores, dur=1.5) / 1.5
-
-        nonlocal gate_wait_s
-        t0 = time.time()
-        # never spend more than 40% of the budget inside the gate —
-        # trials, not probes, are the product
-        if gate_wait_s > 0.4 * budget_s:
-            return 0.0
-        deadline = t0 + min(max_wait, max(0.0, budget_s - (t0 - t_start)))
-        rate = probe()
-        best_cal = max(best_cal, rate)
-        while rate < 0.85 * best_cal and time.time() + 10 < deadline:
-            time.sleep(8)
-            rate = probe()
-            # decay the high-water mark ~2% per probe: a single
-            # frequency-burst probe must not pin the bar so high that
-            # every later (sustainable-rate) probe reads as throttled
-            # and the gate sleeps its full window before each trial
-            best_cal = max(rate, 0.98 * best_cal)
-        gate_wait_s += time.time() - t0
-        return rate
+        return gate.wait_clean_slot(max_wait)
 
     lo_times, hi_times = [], []
     for t in range(max_trials):
@@ -297,25 +327,41 @@ def main() -> None:
     # 32-way oversubscription thrashes; 16 is the empirical plateau.
     spark = _spark(min(CPUS, 16))
     queries: dict[str, float] = {}
+    # the query phase gets its OWN gate budget (r04): the r03 driver
+    # record ran this phase bare and a throttle epoch inflated every
+    # per-query number ~2x while the same-code local run matched r02 —
+    # the recorded number is the one that counts, so it gets the same
+    # protection as the scaling trials.
+    q_budget_s = float(os.environ.get("BENCH_QUERY_BUDGET_S", "900"))
+    q_t0 = time.time()
+    q_gate = ThrottleGate(probe_procs=hi_cores, budget_s=q_budget_s, t_start=q_t0)
     try:
-        # steady-state timing: min of two runs per query, cache
-        # cleared after EVERY run (internal persists never carry
-        # across). Run 1 of a plan pays one-time Janino codegen + JIT
-        # compile — measured 6-22s on the HOF-heavy similarity plans,
-        # growing with session age while the steady-state cost stays
-        # flat (ann_cosine_topk: 8.3s first run, 1.7s thereafter).
-        # The one-time compile is amortized to zero in any long-lived
-        # deployment, so the steady-state number is the engine metric.
+        # steady-state timing: min over >=3 runs per query (was 2 —
+        # one throttled pair poisons a bare min-of-2), cache cleared
+        # after EVERY run (internal persists never carry across), each
+        # run behind the throttle gate, plus a plausibility widening:
+        # if the two best runs still disagree by >30% the epoch likely
+        # moved mid-query — take one more. Run 1 of a plan pays
+        # one-time Janino codegen + JIT compile — measured 6-22s on
+        # the HOF-heavy similarity plans, growing with session age
+        # while the steady-state cost stays flat (ann_cosine_topk:
+        # 8.3s first run, 1.7s thereafter). The one-time compile is
+        # amortized to zero in any long-lived deployment, so the
+        # steady-state number is the engine metric.
         for name in HEADLINE:
             fn, _ = REGISTRY[name]
-            best = None
-            for _ in range(2):
+            times: list[float] = []
+            while len(times) < 3 or (
+                len(times) < 4
+                and sorted(times)[1] > 1.3 * sorted(times)[0]
+                and time.time() - q_t0 < q_budget_s
+            ):
+                q_gate.wait_clean_slot(max_wait=60.0)
                 t0 = time.time()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                times.append(time.time() - t0)
                 spark.catalog.clearCache()
-            queries[name] = round(best, 3)
+            queries[name] = round(min(times), 3)
     finally:
         spark.stop()
 
@@ -338,7 +384,16 @@ def main() -> None:
             "pages_per_sec_high": round(pps_hi, 1),
             "efficiency": round(efficiency, 3),
             "env_raw_cpu_scaling_efficiency": round(raw_eff, 3),
-            "throttle_gate_wait_sec": round(gate_wait_s, 1),
+            # job efficiency read AGAINST the environment's own raw-CPU
+            # ceiling (r04, VERDICT r03 §8): a ratio well under ~0.9
+            # with a high env control says the JOB lost scaling; both
+            # low says the run sat in a throttle epoch — the record is
+            # self-identifying either way
+            "job_vs_env_efficiency_ratio": round(efficiency / raw_eff, 3)
+            if raw_eff > 0
+            else None,
+            "throttle_gate_wait_sec": round(gate.wait_s, 1),
+            "query_gate_wait_sec": round(q_gate.wait_s, 1),
         },
     }
     print(json.dumps(out))
