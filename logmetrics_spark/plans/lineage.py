@@ -90,6 +90,30 @@ class LineageStore:
         os.replace(tmp, self._path())  # atomic commit
 
 
+def purge_staging_partitions(spark: SparkSession, staging_dir: str, uids) -> None:
+    """Recursively delete ``u=<uid>`` staging partitions. Plain local
+    paths go through shutil; ANY URI-schemed path (file://, hdfs://,
+    s3a://, ...) goes through the Hadoop FileSystem API — shutil on a
+    URI string silently deletes nothing (ADVICE r03), which would
+    reintroduce stale-partial contamination in exactly the
+    object-store deployments dynamic partition overwrite targets.
+    Absent partitions are a no-op either way."""
+    from urllib.parse import urlparse
+
+    if urlparse(staging_dir).scheme == "":
+        import shutil
+
+        for uid in uids:
+            shutil.rmtree(os.path.join(staging_dir, f"u={uid}"), ignore_errors=True)
+        return
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for uid in uids:
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{staging_dir}/u={uid}")
+        # delete(recursive=True) returns False when absent — fine
+        jpath.getFileSystem(hconf).delete(jpath, True)
+
+
 def plan_units(spark: SparkSession, pages_path: str) -> list[str]:
     """Work units = input files (the 'filename glob' of the scan).
     Explicit schema: inference would cost a Spark job just to list."""
@@ -187,23 +211,8 @@ def run_stage1_units(
     # scheme (hdfs://, s3a://, ...) — shutil.rmtree on such a path
     # silently deletes nothing (ADVICE r03), reintroducing exactly the
     # stale-partial contamination this purge exists to prevent.
-    from urllib.parse import urlparse
-
     pending_ids = {_unit_id(p): p for p in pending}
-    scheme = urlparse(staging_dir).scheme
-    if scheme in ("", "file"):
-        import shutil
-
-        local_root = staging_dir[len("file://"):] if scheme == "file" else staging_dir
-        for uid in pending_ids:
-            shutil.rmtree(os.path.join(local_root, f"u={uid}"), ignore_errors=True)
-    else:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        for uid in pending_ids:
-            jpath = jvm.org.apache.hadoop.fs.Path(f"{staging_dir}/u={uid}")
-            # delete(recursive=True) returns False when absent — fine
-            jpath.getFileSystem(hconf).delete(jpath, True)
+    purge_staging_partitions(spark, staging_dir, pending_ids.keys())
     (
         partials.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

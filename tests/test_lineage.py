@@ -158,3 +158,23 @@ def test_config_change_purges_stale_unit_partitions(spark, apache_cfg, pages_dir
     assert r2["routed_rows"] == 0, (
         "stale partials from the previous config survived the recompute"
     )
+
+
+def test_purge_staging_partitions_both_branches(spark, tmp_path):
+    """purge_staging_partitions deletes u=<uid> trees through BOTH
+    code paths: plain local path (shutil) and URI-schemed path
+    (Hadoop FileSystem API — exercised here via file://, the same
+    branch hdfs:///s3a:// take; a bare shutil.rmtree on a URI string
+    silently deletes nothing, the ADVICE r03 bug)."""
+    import os
+
+    from logmetrics_spark.plans.lineage import purge_staging_partitions
+
+    for scheme in ("", "file://"):
+        staging = tmp_path / f"staging_{'uri' if scheme else 'plain'}"
+        for uid in ("aaa", "bbb"):
+            os.makedirs(staging / f"u={uid}" / "g=x", exist_ok=True)
+            (staging / f"u={uid}" / "g=x" / "part-0.parquet").write_bytes(b"stale")
+        purge_staging_partitions(spark, f"{scheme}{staging}", ["aaa", "missing"])
+        assert not (staging / "u=aaa").exists(), scheme or "plain"
+        assert (staging / "u=bbb" / "g=x" / "part-0.parquet").exists(), scheme or "plain"
