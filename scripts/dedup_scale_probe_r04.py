@@ -59,7 +59,10 @@ def emit(rec: dict, out_fh) -> None:
 
 
 def probe_emb(spark, out_fh, n: int) -> None:
+    regimes = os.environ.get("PROBE_EMB_REGIME", "both")
     for regime, viral in (("linear", False), ("viral", True)):
+        if regimes not in ("both", regime):
+            continue
         emb = gen_embeddings(spark, n, viral).persist()
         emb.count()
         plans = [D.emb_lsh_plan(n)]  # autoscaled (width 16 @ 1M)
