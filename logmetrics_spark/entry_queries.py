@@ -898,6 +898,63 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), 0.4)
 
 
+def _minhash_incremental_sql() -> str:
+    mh = ", ".join(
+        f"MIN(({a} * h + {b}) % {D.MH_PRIME}) AS mh{i}"
+        for i, (a, b) in enumerate(D.mh_affine_params(D.MINHASH_K))
+    )
+    bands = []
+    for b in range(D.LSH_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(mh{b * D.LSH_ROWS + r} AS VARCHAR)" for r in range(D.LSH_ROWS)
+        )
+        bands.append(f"SELECT id, {b} AS band, md5({cols}) AS bucket FROM sig")
+    bands_sql = " UNION ALL ".join(bands)
+    # batch = doc_id % 5 == 0, corpus = the rest. Signature
+    # independence makes filter-then-index == index-then-filter, so
+    # one shared sig CTE filtered per side replays the engine's
+    # two-table build exactly.
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    shh AS (SELECT id, {MD5_52_SQL.format(x='shingle')} AS h FROM sh),
+    sig AS (SELECT id, {mh} FROM shh GROUP BY id),
+    bands AS ({bands_sql}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_new, b.id AS id_corpus
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.id % 5 = 0 AND b.id % 5 <> 0
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM shh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_new, b.id AS id_corpus, COUNT(*) AS inter
+      FROM shh a JOIN shh b ON a.h = b.h
+      WHERE a.id % 5 = 0 AND b.id % 5 <> 0
+      GROUP BY a.id, b.id
+    )
+    SELECT c.id_new, c.id_corpus,
+           ROUND(i.inter * 1.0 / (sn.sz + sc.sz - i.inter), 6) AS jaccard6
+    FROM cand c
+    JOIN inter i ON i.id_new = c.id_new AND i.id_corpus = c.id_corpus
+    JOIN sizes sn ON sn.id = c.id_new
+    JOIN sizes sc ON sc.id = c.id_corpus
+    WHERE ROUND(i.inter * 1.0 / (sn.sz + sc.sz - i.inter), 6) >= 0.4
+    """
+
+
+@q("dedup_incremental", _minhash_incremental_sql())
+def q_dedup_incremental(spark, sf_dir):
+    """Recurring-ingest dedup: match a new crawl batch (doc_id % 5
+    == 0) against the LSH index of the already-kept corpus (the other
+    docs) WITHOUT re-pairing the corpus — candidate volume is
+    O(batch), the shape a weekly-snapshot training pipeline needs.
+    Graft op (no reference counterpart); engine:
+    dedup.minhash_lsh_incremental_pairs."""
+    d = _t(spark, sf_dir, "documents")
+    idx = D.minhash_index(d.filter(F.col("doc_id") % 5 != 0))
+    return D.minhash_lsh_incremental_pairs(d.filter(F.col("doc_id") % 5 == 0), idx, 0.4)
+
+
 def _simhash_sql() -> str:
     # 60-bit token hash (15 hex chars; see dedup.SIMHASH_BITS)
     h = "CAST(('0x' || substr(md5(tok),1,15)) AS BIGINT)"

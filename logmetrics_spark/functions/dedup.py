@@ -1001,3 +1001,142 @@ def dedup_near_keep(
         F.col("id").alias(id_col)
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+# ------------------------------------------------ incremental (batch-vs-corpus)
+
+
+def minhash_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The persistent LSH index of a corpus: ``(entries, shh)``.
+
+    ``entries`` = (id, sz, band, bucket) banded MinHash entries,
+    ``shh`` = (id, h) hashed shingles — exactly the two tables
+    :func:`minhash_lsh_incremental_pairs` probes. In production these
+    are written ONCE per corpus snapshot (partitioned/bucketed by
+    (band, bucket) and by id respectively, e.g. as Iceberg tables) and
+    each new crawl batch joins against them WITHOUT recomputing or
+    re-pairing the corpus — the property that makes recurring-crawl
+    dedup O(batch) instead of O(corpus) per run."""
+    shh = shingle_hashes(docs, id_col, text_col, NGRAM_N)
+    sig = minhash_signatures_from_hashes(shh, MINHASH_K)
+    return _minhash_band_entries(sig), shh
+
+
+def minhash_lsh_incremental_pairs(
+    new_docs: DataFrame,
+    corpus_index: tuple[DataFrame, DataFrame],
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an EXISTING corpus —
+    the recurring-ingest form of :func:`minhash_lsh_pairs`. Returns
+    (id_new, id_corpus, jaccard6), jaccard6 >= ``threshold``.
+
+    A training pipeline ingesting crawl snapshots must dedup each new
+    batch against everything already kept, and re-running the
+    all-pairs LSH over corpus+batch re-pays the corpus every time.
+    This probes the prebuilt index instead (:func:`minhash_index`):
+
+    - candidates: equi-join batch band entries x index entries on
+      (band, bucket) — the corpus side never pairs with itself, so
+      candidate volume is O(batch x bucket-occupancy), not
+      O(corpus^2);
+    - with ``bucket_cap``, the INDEX side of each (band, bucket) is
+      capped to its ``bucket_cap`` min-id members (deterministic), so
+      per-new-doc work is bounded by cap x bands candidates no matter
+      how viral a corpus family is (the cross-skew guard: a viral
+      batch family x a viral corpus family in one bucket is
+      m_new x m_cor pairs uncapped, m_new x cap capped — linear in
+      the batch). Matching ANY member of a capped family suffices for
+      drop decisions, so recall loss only affects pair LISTINGS, not
+      :func:`dedup_incremental_keep`;
+    - verify: exact Jaccard through the hashed-shingle tables
+      (long-typed equi-joins, identical contract to
+      :func:`minhash_lsh_pairs`; the DuckDB oracle replays it
+      bit-for-bit).
+
+    Scale notes (100 TB corpus, ~1000x smaller batch): the (band,
+    bucket) join shuffles the batch side only if the index table is
+    stored bucketed by (band, bucket); the verify join against the
+    corpus shingle table is an equi-join on (id, h) that prunes to
+    candidate ids — store ``shh`` bucketed by id and that side is
+    shuffle-free too. Signature independence (a doc's MinHash depends
+    on nothing but its own shingles) is what makes the split exact:
+    index-then-filter == filter-then-index."""
+    shh_new = shingle_hashes(new_docs, id_col, text_col, NGRAM_N).persist()
+    sig_new = minhash_signatures_from_hashes(shh_new, MINHASH_K)
+    entries_new = _minhash_band_entries(sig_new)
+    entries_cor, shh_cor = corpus_index
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket").orderBy("id")
+        entries_cor = (
+            entries_cor.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    cand = (
+        entries_new.select(
+            "band",
+            "bucket",
+            F.col("id").alias("id_new"),
+            F.col("sz").alias("sz_new"),
+        )
+        .join(
+            entries_cor.select(
+                "band",
+                "bucket",
+                F.col("id").alias("id_corpus"),
+                F.col("sz").alias("sz_cor"),
+            ),
+            ["band", "bucket"],
+        )
+        .select("id_new", "id_corpus", "sz_new", "sz_cor")
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            shh_new.hint("shuffle_hash").select(F.col("id").alias("id_new"), "h"),
+            "id_new",
+        )
+        .join(
+            shh_cor.hint("shuffle_hash").select(F.col("id").alias("id_corpus"), "h"),
+            ["id_corpus", "h"],
+        )
+        .groupBy("id_new", "id_corpus", "sz_new", "sz_cor")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard6",
+            F.round(
+                F.col("inter") / (F.col("sz_new") + F.col("sz_cor") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard6") >= threshold)
+        .select("id_new", "id_corpus", "jaccard6")
+    )
+
+
+def dedup_incremental_keep(
+    new_docs: DataFrame,
+    corpus_index: tuple[DataFrame, DataFrame],
+    threshold: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """The new-batch rows that survive incremental dedup: every new
+    doc with NO verified near-dup already in the corpus. Left-anti on
+    the matched id set — no row explosion; the batch-ingest analogue
+    of :func:`dedup_near_keep` (within-batch duplicates are a
+    separate :func:`minhash_lsh_pairs` pass over the batch alone)."""
+    matched = minhash_lsh_incremental_pairs(
+        new_docs, corpus_index, threshold, id_col, text_col, bucket_cap
+    ).select(F.col("id_new").alias(id_col))
+    return new_docs.join(matched, id_col, "left_anti")

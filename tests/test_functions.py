@@ -85,6 +85,79 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
         assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_incremental_equals_cross_slice_of_full_lsh(spark, docs):
+    """Incremental (batch-vs-corpus) pairs == the full-corpus LSH pair
+    set restricted to cross-split pairs: MinHash signatures depend
+    only on the doc itself, so splitting cannot change any bucket."""
+    full = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in D.minhash_lsh_pairs(docs, 0.4).collect()
+    }
+    is_batch = lambda i: i % 5 == 0  # noqa: E731
+    cross = {p for p in full if len({is_batch(i) for i in p}) == 2}
+    idx = D.minhash_index(docs.filter(F.col("doc_id") % 5 != 0))
+    inc = D.minhash_lsh_incremental_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0), idx, 0.4
+    )
+    got = {frozenset((r["id_new"], r["id_corpus"])) for r in inc.collect()}
+    assert got == cross
+
+
+def test_incremental_keep_drops_clone_keeps_fresh(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts calibrate the orbital telescope before dawn and the "
+        "harbor lighthouse rotates its beam across the frozen bay"
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    base,
+                    "completely unrelated corpus content about spark physical plans",
+                ],
+            }
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11],
+                "text": [
+                    # near-clone of corpus doc 1 (one token appended)
+                    base + " tonight",
+                    "a genuinely fresh document with brand new tokens entirely",
+                ],
+            }
+        )
+    )
+    idx = D.minhash_index(corpus)
+    pairs = D.minhash_lsh_incremental_pairs(batch, idx, 0.3).collect()
+    assert {(r["id_new"], r["id_corpus"]) for r in pairs} == {(10, 1)}
+    kept = [r["doc_id"] for r in D.dedup_incremental_keep(batch, idx, 0.3).collect()]
+    assert kept == [11]
+
+
+def test_incremental_bucket_cap_bounds_per_doc_candidates(spark):
+    """A viral corpus family (40 identical docs) with bucket_cap=4:
+    the new doc still matches (any capped member suffices for the
+    drop decision) and its pair listing is bounded by the cap."""
+    fam = "viral duplicate family text repeated across the whole corpus"
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(100, 140)), "text": [fam] * 40})
+    )
+    batch = spark.createDataFrame(pd.DataFrame({"doc_id": [7], "text": [fam]}))
+    idx = D.minhash_index(corpus)
+    capped = D.minhash_lsh_incremental_pairs(batch, idx, 0.5, bucket_cap=4).collect()
+    assert 1 <= len(capped) <= 4  # min-id members 100..103 only
+    assert all(r["id_corpus"] in range(100, 104) for r in capped)
+    kept = D.dedup_incremental_keep(batch, idx, 0.5, bucket_cap=4).collect()
+    assert kept == []
+    uncapped = D.minhash_lsh_incremental_pairs(batch, idx, 0.5).collect()
+    assert len(uncapped) == 40
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta gamma", "alpha beta gamma"]})

@@ -43,6 +43,16 @@ def test_minhash_lsh_no_cartesian(spark, docs):
         assert node not in plan, f"{node} in minhash_lsh_pairs plan"
 
 
+def test_incremental_lsh_no_cartesian(spark, docs):
+    idx = D.minhash_index(docs.filter(F.col("doc_id") % 5 != 0))
+    inc = D.minhash_lsh_incremental_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0), idx, 0.4, bucket_cap=64
+    )
+    plan = _physical(inc)
+    for node in FORBIDDEN:
+        assert node not in plan, f"{node} in minhash_lsh_incremental_pairs plan"
+
+
 def test_embedding_lsh_no_cartesian(spark, emb):
     plan = _physical(D.embedding_neardup_lsh(emb, 0.3))
     for node in FORBIDDEN:
