@@ -54,6 +54,7 @@ HEADLINE = [
     "text_lang_id",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_incremental",
     "dedup_simhash",
     "embed_neardup_lsh",
     "ann_cosine_topk",

@@ -195,6 +195,99 @@ def probe_cc(spark, out_fh, n: int = 1_000_000) -> None:
     docs.unpersist()
 
 
+def gen_batch(spark, n_corpus: int, m: int):
+    """m new-batch docs (ids [n_corpus, n_corpus+m)), same token model
+    as gen_docs: every 2nd doc is an exact clone of a hash-scattered
+    CORPUS doc (the realistic recurring-crawl shape — roughly half a
+    new snapshot is already in the kept corpus), the rest fresh."""
+    from dedup_scale_probe import N_TOKENS, VOCAB
+
+    base = spark.range(n_corpus, n_corpus + m, numPartitions=16).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") * 2654435761) % n_corpus)
+        .otherwise(F.col("id"))
+        .alias("seed"),
+    )
+    toks = [
+        F.concat(
+            F.lit("w"),
+            (D.md5_52(F.concat_ws(":", F.col("seed"), F.lit(str(j)))) % VOCAB).cast(
+                "string"
+            ),
+        )
+        for j in range(N_TOKENS)
+    ]
+    return base.select("doc_id", F.concat_ws(" ", *toks).alias("text"))
+
+
+def probe_incremental(spark, out_fh, m: int = 100_000) -> None:
+    """The O(batch) claim behind dedup_incremental: matching the SAME
+    100k batch against a 300k and a 1M corpus index should cost
+    roughly the same (index probe + batch-sized verify), while the
+    re-pay-the-corpus baseline (full LSH over corpus+batch) scales
+    with the corpus. Index build time is recorded separately — it is
+    the one-time per-snapshot cost the incremental path amortizes."""
+    for n_corpus in (300_000, 1_000_000):
+        docs = gen_docs(spark, n_corpus, viral=False).persist()
+        docs.count()
+        batch = gen_batch(spark, n_corpus, m).persist()
+        batch.count()
+
+        def build_index():
+            entries, shh = D.minhash_index(docs)
+            entries = entries.persist()
+            shh = shh.persist()
+            return entries, shh, entries.count(), shh.count()
+
+        (entries, shh, n_entries, n_shh), sec_index = timed(build_index)
+        pairs = D.minhash_lsh_incremental_pairs(batch, (entries, shh), 0.4)
+        n_pairs, sec_inc = timed(pairs.count)
+        matched = (
+            pairs.select("id_new").distinct().count()
+        )  # distinct batch docs with a corpus match
+        n_full, sec_full = timed(
+            lambda: D.minhash_lsh_pairs(docs.unionByName(batch), 0.4).count()
+        )
+        emit(
+            {"probe": "incremental", "n_corpus": n_corpus, "n_batch": m,
+             "index_entries": n_entries, "index_shingle_rows": n_shh,
+             "sec_index_build": sec_index, "sec_incremental": sec_inc,
+             "pairs": n_pairs, "batch_docs_matched": matched,
+             "sec_full_lsh_baseline": sec_full, "pairs_full": n_full},
+            out_fh,
+        )
+        for df in (entries, shh, batch, docs):
+            df.unpersist()
+        spark.catalog.clearCache()
+
+    # viral corpus + capped index: per-new-doc candidates stay bounded
+    n_corpus = 1_000_000
+    docs = gen_docs(spark, n_corpus, viral=True).persist()
+    docs.count()
+    batch = gen_batch(spark, n_corpus, m).persist()
+    batch.count()
+    entries, shh = D.minhash_index(docs)
+    entries = entries.persist()
+    shh = shh.persist()
+    entries.count()
+    pairs_c = D.minhash_lsh_incremental_pairs(
+        batch, (entries, shh), 0.4, bucket_cap=BUCKET_CAP
+    )
+    n_pairs_c, sec_c = timed(pairs_c.count)
+    max_per_doc = (
+        pairs_c.groupBy("id_new").count().agg(F.max("count")).collect()[0][0]
+    )
+    emit(
+        {"probe": "incremental", "n_corpus": n_corpus, "n_batch": m,
+         "regime": "viral", "bucket_cap": BUCKET_CAP, "pairs": n_pairs_c,
+         "sec_incremental": sec_c, "max_pairs_per_new_doc": max_per_doc,
+         "per_doc_bound": BUCKET_CAP * D.LSH_BANDS},
+        out_fh,
+    )
+    for df in (entries, shh, batch, docs):
+        df.unpersist()
+
+
 def main() -> None:
     phase = os.environ.get("PROBE_PHASE", "all")
     mode = "a" if os.environ.get("PROBE_APPEND") == "1" else "w"
@@ -212,6 +305,12 @@ def main() -> None:
         if phase in ("all", "cc"):
             spark = _probe_session()
             probe_cc(spark, out_fh, int(os.environ.get("PROBE_CC_N", 1_000_000)))
+            spark.stop()
+        if phase in ("all", "incremental"):
+            spark = _probe_session()
+            probe_incremental(
+                spark, out_fh, int(os.environ.get("PROBE_INC_M", 100_000))
+            )
             spark.stop()
     finally:
         out_fh.close()
