@@ -1048,6 +1048,57 @@ def q_embed_neardup_lsh(spark, sf_dir):
     return D.embedding_neardup_lsh(_t(spark, sf_dir, "embeddings"), 0.30, dim=64)
 
 
+def _emb_incremental_sql(threshold: float = 0.30, dim: int = 64) -> str:
+    """DuckDB mirror of embedding_incremental_pairs: batch = vec_id %
+    5 == 0, corpus = the rest. Signature independence makes a single
+    shared sig CTE filtered per side replay the engine's two-table
+    build exactly (same argument as _minhash_incremental_sql)."""
+    planes = D.hyperplanes(dim, D.EMB_LSH_PLANES)
+    width = D.EMB_LSH_PLANES // D.EMB_LSH_BANDS
+    sig_terms = []
+    for p, plane in enumerate(planes):
+        lits = ", ".join(repr(v) for v in plane)
+        sig_terms.append(
+            f"(CASE WHEN ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{lits}]::DOUBLE[]), 6) > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    bands = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band, "
+        f"(sig // {1 << (b * width)}) % {1 << width} AS bval FROM sig"
+        for b in range(D.EMB_LSH_BANDS)
+    )
+    cos = (
+        "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
+        " / NULLIF(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 6)"
+    )
+    return f"""
+    WITH sig AS (SELECT vec_id, embedding, {sig} AS sig FROM embeddings),
+    bands AS ({bands})
+    SELECT DISTINCT a.vec_id AS id_new, b.vec_id AS id_corpus, {cos} AS cos6
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bval = b.bval
+    WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 <> 0
+      AND {cos} >= {threshold}
+    """
+
+
+@q("embed_incremental", _emb_incremental_sql())
+def q_embed_incremental(spark, sf_dir):
+    """Recurring-ingest embedding dedup: match a new embedding batch
+    (vec_id % 5 == 0) against the hyperplane-LSH index of the
+    already-kept corpus (the rest) WITHOUT re-signing or re-pairing
+    the corpus — the embedding twin of dedup_incremental. Graft op
+    (no reference counterpart); engine:
+    dedup.embedding_incremental_pairs over dedup.embedding_index."""
+    e = _t(spark, sf_dir, "embeddings")
+    idx = D.embedding_index(e.filter(F.col("vec_id") % 5 != 0), dim=64)
+    return D.embedding_incremental_pairs(
+        e.filter(F.col("vec_id") % 5 == 0), idx, 0.30, dim=64
+    )
+
+
 @q(
     "ann_cosine_topk",
     """

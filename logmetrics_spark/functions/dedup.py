@@ -1158,3 +1158,149 @@ def dedup_incremental_keep(
         new_docs, corpus_index, threshold, id_col, text_col, bucket_cap
     ).select(F.col("id_new").alias(id_col))
     return new_docs.join(matched, id_col, "left_anti")
+
+
+def embedding_index(
+    emb: DataFrame,
+    dim: int = 64,
+    n_planes: int = EMB_LSH_PLANES,
+    n_bands: int = EMB_LSH_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """The persistent hyperplane-LSH index of an embedding corpus:
+    ``(entries, sigtab)`` — the embedding-side twin of
+    :func:`minhash_index`.
+
+    ``entries`` = (vec_id, band, bucket) band entries; ``sigtab`` =
+    (vec_id, embedding, nrm) — exactly what
+    :func:`embedding_incremental_pairs` probes for candidates and for
+    the exact-cosine verify respectively. In production these are
+    written ONCE per corpus snapshot (entries bucketed by
+    (band, bucket), sigtab by vec_id, e.g. as Iceberg tables) so each
+    new embedding batch joins against them without re-signing or
+    re-pairing the corpus. Signature independence (a vector's
+    signature depends only on itself and the deterministic planes)
+    makes index-then-filter == filter-then-index — the property the
+    oracle relies on."""
+    planes = hyperplanes(dim, n_planes)
+    s = with_hyperplane_signature(emb, planes, n_bands)
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.col(f"sig_{b}").cast("string").alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    entries = s.select("vec_id", F.explode(F.array(*band_entries)).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    sigtab = s.select("vec_id", "embedding", "nrm")
+    return entries, sigtab
+
+
+def embedding_incremental_pairs(
+    new_emb: DataFrame,
+    corpus_index: tuple[DataFrame, DataFrame],
+    threshold: float = 0.3,
+    dim: int = 64,
+    n_planes: int = EMB_LSH_PLANES,
+    n_bands: int = EMB_LSH_BANDS,
+    bucket_cap: int | None = None,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Near-dup pairs between a NEW embedding batch and an EXISTING
+    corpus index — the recurring-ingest form of
+    :func:`embedding_neardup_lsh`, mirroring
+    :func:`minhash_lsh_incremental_pairs` shape-for-shape. Returns
+    (id_new, id_corpus, cos6), cos6 >= ``threshold``.
+
+    - candidates: equi-join batch band entries x index entries on
+      (band, bucket); the corpus never pairs with itself, so volume
+      is O(batch x bucket-occupancy);
+    - ``bucket_cap`` caps the INDEX side of each (band, bucket) to
+      its min-id members (cross-skew guard — a viral corpus family
+      costs each new doc at most cap x bands candidates; matching ANY
+      member suffices for drop decisions);
+    - verify: exact cosine6 through the index ``sigtab`` with
+      precomputed norms (same narrow-candidates-then-rejoin shape as
+      the batch LSH — embedding arrays never ride the banding join).
+
+    Scale notes (100 TB corpus, much smaller batch): with
+    ``broadcast_batch`` (default) the corpus side is NEVER shuffled —
+    batch band entries broadcast into the index probe, and the corpus
+    sigtab is runtime-filtered by a broadcast left-semi on the
+    distinct candidate ids before the verify join, so only candidate
+    vectors (O(batch x cap x bands)) reach that join. Disable it for
+    batches too large to broadcast and rely on storage bucketing."""
+    planes = hyperplanes(dim, n_planes)
+    s_new = with_hyperplane_signature(new_emb, planes, n_bands).persist()
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.col(f"sig_{b}").cast("string").alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    en = (
+        s_new.select("vec_id", F.explode(F.array(*band_entries)).alias("bb"))
+        .select(
+            F.col("vec_id").alias("id_new"),
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+    if broadcast_batch:
+        en = F.broadcast(en)
+    entries_cor, sig_cor = corpus_index
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket").orderBy("vec_id")
+        entries_cor = (
+            entries_cor.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    cand = (
+        en.join(
+            entries_cor.select(
+                "band", "bucket", F.col("vec_id").alias("id_corpus")
+            ),
+            ["band", "bucket"],
+        )
+        .select("id_new", "id_corpus")
+        .distinct()
+    )
+    if broadcast_batch:
+        # candidates feed the verify join AND the runtime filter; lazy
+        # persist so the corpus-entries probe runs once, not twice
+        cand = cand.persist()
+        cand_ids = F.broadcast(
+            cand.select(F.col("id_corpus").alias("vec_id")).distinct()
+        )
+        sig_cor = sig_cor.join(cand_ids, "vec_id", "left_semi")
+    ea = s_new.hint("shuffle_hash").select(
+        F.col("vec_id").alias("id_new"),
+        F.col("embedding").alias("_ea"),
+        F.col("nrm").alias("_na"),
+    )
+    eb_src = sig_cor if broadcast_batch else sig_cor.hint("shuffle_hash")
+    eb = eb_src.select(
+        F.col("vec_id").alias("id_corpus"),
+        F.col("embedding").alias("_eb"),
+        F.col("nrm").alias("_nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_ea"), F.col("_eb"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = F.round(dot / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)), 6)
+    return (
+        cand.join(ea, "id_new")
+        .join(eb, "id_corpus")
+        .withColumn("cos6", cos)
+        .filter(F.col("cos6") >= threshold)
+        .select("id_new", "id_corpus", "cos6")
+    )

@@ -158,6 +158,46 @@ def test_incremental_bucket_cap_bounds_per_doc_candidates(spark):
     assert len(uncapped) == 40
 
 
+def test_embed_incremental_equals_cross_slice_of_full_lsh(spark, emb):
+    """Embedding incremental (batch-vs-corpus) pairs == the full-corpus
+    hyperplane-LSH pair set restricted to cross-split pairs: signatures
+    depend only on the vector itself, so splitting cannot change any
+    bucket (same argument as the minhash twin)."""
+    full = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in D.embedding_neardup_lsh(emb, 0.3, dim=64).collect()
+    }
+    is_batch = lambda i: i % 5 == 0  # noqa: E731
+    cross = {p for p in full if len({is_batch(i) for i in p}) == 2}
+    idx = D.embedding_index(emb.filter(F.col("vec_id") % 5 != 0), dim=64)
+    inc = D.embedding_incremental_pairs(
+        emb.filter(F.col("vec_id") % 5 == 0), idx, 0.3, dim=64
+    )
+    got = {frozenset((r["id_new"], r["id_corpus"])) for r in inc.collect()}
+    assert got == cross
+    assert cross, "fixture produced no cross-split pairs — test is vacuous"
+
+
+def test_embed_incremental_bucket_cap_bounds_candidates(spark):
+    """A viral corpus family (40 identical vectors) with bucket_cap=4:
+    the new vector still matches (any capped member suffices for drop
+    decisions) and its pair listing is bounded by cap x bands."""
+    v = [1.0, 0.5, -0.25, 0.75] * 2
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": list(range(100, 140)), "embedding": [v] * 40})
+    )
+    batch = spark.createDataFrame(pd.DataFrame({"vec_id": [7], "embedding": [v]}))
+    idx = D.embedding_index(corpus, dim=8)
+    capped = D.embedding_incremental_pairs(
+        batch, idx, 0.5, dim=8, bucket_cap=4
+    ).collect()
+    assert 1 <= len(capped) <= 4  # min-id members 100..103 only
+    assert all(r["id_corpus"] in range(100, 104) for r in capped)
+    assert all(r["cos6"] == 1.0 for r in capped)
+    uncapped = D.embedding_incremental_pairs(batch, idx, 0.5, dim=8).collect()
+    assert len(uncapped) == 40
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta gamma", "alpha beta gamma"]})

@@ -59,6 +59,20 @@ def test_embedding_lsh_no_cartesian(spark, emb):
         assert node not in plan, f"{node} in embedding_neardup_lsh plan"
 
 
+def test_embed_incremental_no_cartesian_and_broadcast_probe(spark, emb):
+    """Incremental embedding dedup: no cartesian anywhere, and with
+    broadcast_batch the batch side enters the index probe as a
+    BroadcastHashJoin — the corpus entries are never shuffled."""
+    idx = D.embedding_index(emb.filter(F.col("vec_id") % 5 != 0))
+    inc = D.embedding_incremental_pairs(
+        emb.filter(F.col("vec_id") % 5 == 0), idx, 0.3, bucket_cap=64
+    )
+    plan = _physical(inc)
+    for node in FORBIDDEN:
+        assert node not in plan, f"{node} in embedding_incremental_pairs plan"
+    assert "BroadcastHashJoin" in plan, "batch band entries should broadcast into the index probe"
+
+
 def test_ivf_assignment_is_narrow(spark, emb):
     """Cell assignment must be a single mapInPandas over the scan —
     no per-vector window sort, no |emb| x |centroids| join."""
