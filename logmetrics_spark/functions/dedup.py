@@ -1304,3 +1304,23 @@ def embedding_incremental_pairs(
         .filter(F.col("cos6") >= threshold)
         .select("id_new", "id_corpus", "cos6")
     )
+
+
+def embedding_incremental_keep(
+    new_emb: DataFrame,
+    corpus_index: tuple[DataFrame, DataFrame],
+    threshold: float = 0.3,
+    dim: int = 64,
+    n_planes: int = EMB_LSH_PLANES,
+    n_bands: int = EMB_LSH_BANDS,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """The new-batch vectors that survive incremental embedding dedup:
+    every new vector with NO verified near-dup already in the corpus.
+    Left-anti on the matched id set — the embedding twin of
+    :func:`dedup_incremental_keep` (within-batch duplicates are a
+    separate :func:`embedding_neardup_lsh` pass over the batch alone)."""
+    matched = embedding_incremental_pairs(
+        new_emb, corpus_index, threshold, dim, n_planes, n_bands, bucket_cap
+    ).select(F.col("id_new").alias("vec_id"))
+    return new_emb.join(matched, "vec_id", "left_anti")

@@ -288,6 +288,113 @@ def probe_incremental(spark, out_fh, m: int = 100_000) -> None:
         df.unpersist()
 
 
+def gen_emb_batch(spark, n_corpus: int, m: int, viral: bool = False, dim: int = 64):
+    """m new-batch vectors (ids [n_corpus, n_corpus+m)), same mixing as
+    gen_embeddings: every 2nd vector the near-clone of a hash-scattered
+    CORPUS vector (seed = hash(id) % n_corpus, cos ~0.999+ against it
+    through the shared seed->vector map plus the tiny id-dependent
+    clone noise), the rest fresh. With ``viral``, every 101st vector
+    joins the corpus's shared-base viral family (seed = -1)."""
+    import numpy as np
+    import pandas as pd
+
+    def mapper(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            seeds = np.where(ids % 2 == 0, (ids * 2654435761) % n_corpus, ids)
+            if viral:
+                seeds = np.where(ids % 101 == 0, -1, seeds)
+            j = np.arange(dim, dtype=np.int64)
+            mm = (seeds[:, None] * 2654435761 + (j[None, :] + 1) * 40503) & 0xFFFFFFFF
+            mm = (mm ^ (mm >> 13)) * 1274126177 & 0xFFFFFFFF
+            v = ((mm % 2001) - 1000).astype(np.float64) / 1000.0
+            v += ((ids[:, None] % 997) / 997.0 - 0.5) * 1e-3
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [r.astype(np.float32).tolist() for r in v]}
+            )
+
+    return spark.range(n_corpus, n_corpus + m, numPartitions=16).mapInPandas(
+        mapper, "vec_id long, embedding array<float>"
+    )
+
+
+def probe_emb_incremental(spark, out_fh, m: int = 100_000) -> None:
+    """The O(batch) claim behind embed_incremental: matching the SAME
+    100k embedding batch against a 300k and a 1M corpus index should
+    cost roughly the same (broadcast index probe + batch-sized cosine
+    verify), while the re-pay-the-corpus baseline (full hyperplane LSH
+    over corpus+batch) scales with the corpus. Index plans autoscale
+    per corpus size (emb_lsh_plan — width 15 @ 300k, 16 @ 1M)."""
+    for n_corpus in (300_000, 1_000_000):
+        n_planes, n_bands = D.emb_lsh_plan(n_corpus)
+        emb = gen_embeddings(spark, n_corpus, viral=False).persist()
+        emb.count()
+        batch = gen_emb_batch(spark, n_corpus, m).persist()
+        batch.count()
+
+        def build_index():
+            entries, sig = D.embedding_index(
+                emb, n_planes=n_planes, n_bands=n_bands
+            )
+            entries = entries.persist()
+            sig = sig.persist()
+            return entries, sig, entries.count(), sig.count()
+
+        (entries, sig, n_entries, n_sig), sec_index = timed(build_index)
+        pairs = D.embedding_incremental_pairs(
+            batch, (entries, sig), 0.95, n_planes=n_planes, n_bands=n_bands
+        )
+        n_pairs, sec_inc = timed(pairs.count)
+        matched = pairs.select("id_new").distinct().count()
+        n_full, sec_full = timed(
+            lambda: D.embedding_neardup_lsh(
+                emb.unionByName(batch), 0.95, n_planes=n_planes, n_bands=n_bands
+            ).count()
+        )
+        emit(
+            {"probe": "emb_incremental", "n_corpus": n_corpus, "n_batch": m,
+             "width": n_planes // n_bands, "n_bands": n_bands,
+             "index_entries": n_entries, "index_sig_rows": n_sig,
+             "sec_index_build": sec_index, "sec_incremental": sec_inc,
+             "pairs": n_pairs, "batch_vecs_matched": matched,
+             "sec_full_lsh_baseline": sec_full, "pairs_full": n_full},
+            out_fh,
+        )
+        for df in (entries, sig, batch, emb):
+            df.unpersist()
+        spark.catalog.clearCache()
+
+    # viral corpus (10k-member shared-base family) + capped index:
+    # per-new-vector candidates stay bounded by cap x bands
+    n_corpus = 1_000_000
+    n_planes, n_bands = D.emb_lsh_plan(n_corpus)
+    emb = gen_embeddings(spark, n_corpus, viral=True).persist()
+    emb.count()
+    batch = gen_emb_batch(spark, n_corpus, m, viral=True).persist()
+    batch.count()
+    entries, sig = D.embedding_index(emb, n_planes=n_planes, n_bands=n_bands)
+    entries = entries.persist()
+    sig = sig.persist()
+    entries.count()
+    pairs_c = D.embedding_incremental_pairs(
+        batch, (entries, sig), 0.95, n_planes=n_planes, n_bands=n_bands,
+        bucket_cap=BUCKET_CAP,
+    )
+    n_pairs_c, sec_c = timed(pairs_c.count)
+    max_per_doc = (
+        pairs_c.groupBy("id_new").count().agg(F.max("count")).collect()[0][0]
+    )
+    emit(
+        {"probe": "emb_incremental", "n_corpus": n_corpus, "n_batch": m,
+         "regime": "viral", "bucket_cap": BUCKET_CAP, "pairs": n_pairs_c,
+         "sec_incremental": sec_c, "max_pairs_per_new_doc": max_per_doc,
+         "per_doc_bound": BUCKET_CAP * n_bands},
+        out_fh,
+    )
+    for df in (entries, sig, batch, emb):
+        df.unpersist()
+
+
 def main() -> None:
     phase = os.environ.get("PROBE_PHASE", "all")
     mode = "a" if os.environ.get("PROBE_APPEND") == "1" else "w"
@@ -309,6 +416,12 @@ def main() -> None:
         if phase in ("all", "incremental"):
             spark = _probe_session()
             probe_incremental(
+                spark, out_fh, int(os.environ.get("PROBE_INC_M", 100_000))
+            )
+            spark.stop()
+        if phase in ("all", "emb_inc"):
+            spark = _probe_session()
+            probe_emb_incremental(
                 spark, out_fh, int(os.environ.get("PROBE_INC_M", 100_000))
             )
             spark.stop()

@@ -198,6 +198,26 @@ def test_embed_incremental_bucket_cap_bounds_candidates(spark):
     assert len(uncapped) == 40
 
 
+def test_embedding_incremental_keep_drops_corpus_matches(spark):
+    """embedding_incremental_keep: batch vectors with a verified corpus
+    near-dup are dropped, fresh ones survive — the embedding twin of
+    dedup_incremental_keep."""
+    v = [1.0, 0.5, -0.25, 0.75] * 2
+    fresh = [-1.0, 0.9, 0.3, -0.6, 0.1, -0.8, 0.45, 0.2]
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 2], "embedding": [v, [x * 0.5 for x in fresh]]})
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [10, 11], "embedding": [v, [-x for x in fresh]]})
+    )
+    idx = D.embedding_index(corpus, dim=8)
+    kept = [
+        r["vec_id"]
+        for r in D.embedding_incremental_keep(batch, idx, 0.5, dim=8).collect()
+    ]
+    assert kept == [11]  # 10 matches corpus 1 (cos=1); 11 is anti-parallel to 2
+
+
 def test_simhash_identical_docs_distance_zero(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta gamma", "alpha beta gamma"]})

@@ -478,3 +478,58 @@ def test_streaming_live_multi_group_concurrent(spark, rest_cfg, apache_cfg, tmp_
     for q in qs:
         q.awaitTermination(60)
     assert monitor_live(spark, qs, timeout_sec=1.0) is False
+
+
+def test_streaming_ingest_dedup_grows_corpus(spark, tmp_path):
+    """Streaming ingest dedup: a clone arriving in a LATER micro-batch
+    of a doc kept in an EARLIER one is dropped (the index grows with
+    every kept batch), within-batch clones collapse to the min-id doc,
+    and restarts with the same checkpoint process only new files."""
+    import pandas as pd
+
+    from logmetrics_spark.streaming.ingest_dedup import (
+        run_streaming_ingest_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts calibrate the orbital telescope before dawn and the "
+        "harbor lighthouse rotates its beam across the frozen bay"
+    )
+    fresh1 = "completely unrelated corpus content about spark physical plans"
+    fresh2 = "a genuinely fresh document with brand new tokens entirely"
+    docs_dir = str(tmp_path / "docs")
+    os.makedirs(docs_dir)
+
+    def drop_file(name: str, rows: list[tuple[int, str]]) -> None:
+        import glob as _g
+        import shutil
+
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        ).coalesce(1).write.parquet(stage)
+        for f in _g.glob(f"{stage}/part-*.parquet"):
+            shutil.copy(f, f"{docs_dir}/{name}.parquet")
+
+    # batch 1: 2 is a within-batch clone of 1; 3 is fresh
+    drop_file("b1", [(1, base), (2, base + " tonight"), (3, fresh1)])
+    out = str(tmp_path / "corpus")
+    ck = str(tmp_path / "ck")
+    q, sink = run_streaming_ingest_dedup(spark, docs_dir, out, ck, threshold=0.3)
+    q.awaitTermination(120)
+    assert sorted(r["doc_id"] for r in sink.kept_docs(spark).collect()) == [1, 3]
+
+    # batch 2: 10 clones batch-1's KEPT doc 1 (cross-batch dup via the
+    # grown index); 11 is fresh
+    drop_file("b2", [(10, base + " again"), (11, fresh2)])
+    q2, sink = run_streaming_ingest_dedup(spark, docs_dir, out, ck, threshold=0.3)
+    q2.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in sink.kept_docs(spark).collect())
+    assert kept == [1, 3, 11], kept
+    # the index grew with every kept batch: entries cover all kept docs
+    idx_ids = {
+        r["id"]
+        for r in spark.read.parquet(sink.entries_dir).select("id").distinct().collect()
+    }
+    assert idx_ids == {1, 3, 11}
