@@ -779,6 +779,91 @@ def q_text_rolling_fingerprint(spark, sf_dir):
     return d.select("doc_id", T.rolling_fingerprint(F.col("text")).alias("roll_h"))
 
 
+def _pii_sql() -> str:
+    """DuckDB mirror of q_text_pii_mask: same deterministic PII footer
+    (doc_id % 3 == 0 docs), same pattern constants, same mask order."""
+    aug = (
+        "CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR)"
+        " || '@example.com tel 555-867-5309 host 10.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || '.7' ELSE text END"
+    )
+    counts = ", ".join(
+        f"CASE WHEN length(text) = 0 THEN 0"
+        f" ELSE len(regexp_extract_all(text, '{pat}')) END AS {col}"
+        for col, pat, _ in T._PII_PASSES
+    )
+    masked = "text"
+    for _, pat, tok in T._PII_PASSES:
+        masked = f"regexp_replace({masked}, '{pat}', '{tok}', 'g')"
+    return f"""
+    WITH aug AS (SELECT doc_id, {aug} AS text FROM documents)
+    SELECT doc_id, {masked} AS masked_text, {counts} FROM aug
+    """
+
+
+@q("text_pii_mask", _pii_sql())
+def q_text_pii_mask(spark, sf_dir):
+    """PII scrubbing over the corpus: mask emails/phones/IPv4 with
+    typed placeholders + per-doc detection counts. The synthetic corpus
+    carries no PII, so every third document gets a deterministic
+    PII footer (same expression in Spark and DuckDB) — the masking
+    logic is exercised on real positives, not vacuous zeros. Graft op
+    (training-data pipeline requirement); pure Catalyst regexp."""
+    d = _t(spark, sf_dir, "documents")
+    footer = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com tel 555-867-5309 host 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    aug = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 3 == 0, footer).otherwise(F.col("text")),
+    )
+    return T.with_pii_masked(aug).select(
+        "doc_id", "masked_text", "n_emails", "n_phones", "n_ips"
+    )
+
+
+@q(
+    "text_repetition",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS_SQL} AS t, {_TOKC_SQL} AS n_tokens FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, t, n_tokens,
+             ROUND(CASE WHEN n_tokens > 0
+                   THEN 1.0 - len(list_distinct(t)) * 1.0 / n_tokens
+                   ELSE 0.0 END, 6) AS dup_word_frac
+      FROM base
+    ),
+    bgidx AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+      FROM feats WHERE len(t) >= 2
+    ),
+    bgr AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram FROM bgidx),
+    bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bgr GROUP BY doc_id, bigram),
+    bgm AS (SELECT doc_id, MAX(c) AS max_bg, SUM(c) AS n_bg FROM bgc GROUP BY doc_id)
+    SELECT f.doc_id, f.n_tokens, f.dup_word_frac,
+           ROUND(COALESCE(max_bg * 1.0 / n_bg, 0.0), 6) AS top_bigram_frac
+    FROM feats f LEFT JOIN bgm USING (doc_id)
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (duplicate-word fraction
+    + top-bigram fraction) per document — the boilerplate/spam filter
+    axis the length/punct ratios (text_quality) can't see. Bigram mode
+    via explode + two-level groupBy (linear in tokens, map-side
+    combine), never a per-row quadratic array scan."""
+    d = _t(spark, sf_dir, "documents")
+    return T.with_repetition_features(d).select(
+        "doc_id", "n_tokens", "dup_word_frac", "top_bigram_frac"
+    )
+
+
 @q(
     "dedup_exact",
     f"""

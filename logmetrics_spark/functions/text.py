@@ -174,6 +174,110 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fingerprint", F.md5(norm))
 
 
+# PII patterns restricted to constructs RE2 (DuckDB) and Java regex
+# (Spark) implement identically: ASCII classes, bounded repetition,
+# \b word boundaries (both engines: ASCII boundary on these classes).
+# No lookahead (RE2 has none), no backreferences.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# masking order matters and is part of the contract: email first (an
+# address with a numeric host would otherwise leave its digits to the
+# IP pass), then phone, then IP. Replacement tokens contain no digits,
+# so earlier passes cannot create later-pass matches.
+_PII_PASSES: list[tuple[str, str, str]] = [
+    ("n_emails", PII_EMAIL_RE, "<EMAIL>"),
+    ("n_phones", PII_PHONE_RE, "<PHONE>"),
+    ("n_ips", PII_IP_RE, "<IP>"),
+]
+
+
+def _match_count(col: Column, pattern: str) -> Column:
+    """Occurrences of an arbitrary (variable-length) regex — the
+    length-difference trick only works for 1-char classes. Empty-string
+    guard keeps the DuckDB mirror exact
+    (len(regexp_extract_all(x, pat)))."""
+    return (
+        F.when(F.length(col) == 0, F.lit(0))
+        .otherwise(F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))))
+        .cast("long")
+    )
+
+
+def with_pii_masked(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for web-corpus training data: mask emails, phone
+    numbers, and IPv4 addresses with typed placeholder tokens, and
+    report per-document match counts. Counts are measured on the INPUT
+    text per pattern (detection telemetry), masking is sequential
+    (email -> phone -> IP) on the running masked string. Pure Catalyst
+    (regexp_replace / regexp_extract_all), no UDF; graft requirement —
+    no reference counterpart."""
+    c = F.col(text_col)
+    masked = c
+    out = df
+    for count_col, pattern, token in _PII_PASSES:
+        out = out.withColumn(count_col, _match_count(c, pattern))
+        masked = F.regexp_replace(masked, pattern, token)
+    return out.withColumn("masked_text", masked)
+
+
+def with_repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public paper): per document,
+
+    - ``dup_word_frac``   = 1 - distinct_tokens / n_tokens (the
+      complement of the type-token ratio; high = boilerplate/spam),
+    - ``top_bigram_frac`` = occurrences of the most frequent word
+      bigram / total bigrams (high = repeated-phrase loops).
+
+    Scale shape: the token-level stats are narrow array expressions
+    fused into the scan projection (zero shuffle); the bigram mode is
+    the one part that genuinely needs an aggregation — explode bigrams
+    -> two-level groupBy (map-side partial combine on (id, bigram)) ->
+    per-id max, joined back on the id. Linear in total tokens, never
+    quadratic in document length (the naive per-row
+    transform(distinct, count) is O(|bigrams|^2) per doc — wrong for
+    web pages with 10^4+ tokens)."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tokens = token_count(c)
+    base = df.withColumn("_toks", toks).withColumn("n_tokens", n_tokens).withColumn(
+        "dup_word_frac",
+        F.round(
+            F.when(
+                n_tokens > 0,
+                1.0 - F.size(F.array_distinct(F.col("_toks"))) / n_tokens.cast("double"),
+            ).otherwise(0.0),
+            6,
+        ),
+    )
+    bigrams = F.expr(
+        "zip_with(slice(_toks, 1, size(_toks) - 1),"
+        " slice(_toks, 2, size(_toks) - 1), (a, b) -> concat(a, ' ', b))"
+    )
+    bg = (
+        base.where(F.size("_toks") >= 2)
+        .select(id_col, F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("_max_bg"), F.sum("c").alias("_n_bg"))
+    )
+    return (
+        base.join(bg, id_col, "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                F.coalesce(F.col("_max_bg").cast("double") / F.col("_n_bg"), F.lit(0.0)), 6
+            ),
+        )
+        .drop("_toks", "_max_bg", "_n_bg")
+    )
+
+
 def corpus_clean(
     df: DataFrame,
     min_tokens: int = 5,

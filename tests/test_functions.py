@@ -452,6 +452,73 @@ def test_corpus_clean_composition(spark, docs):
     assert all(r["n_tokens"] >= 5 for r in out)
 
 
+def test_pii_mask_semantics(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "mail bob.smith+x@sub.example.org now",
+                    "call 555-123-4567 or 555.987.6543 today",
+                    "host 192.168.1.254 and 10.0.0.1 up",
+                    "",
+                ],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in T.with_pii_masked(df).collect()}
+    assert rows[0]["masked_text"] == "mail <EMAIL> now"
+    assert (rows[0]["n_emails"], rows[0]["n_phones"], rows[0]["n_ips"]) == (1, 0, 0)
+    assert rows[1]["masked_text"] == "call <PHONE> or <PHONE> today"
+    assert rows[1]["n_phones"] == 2
+    assert rows[2]["masked_text"] == "host <IP> and <IP> up"
+    assert rows[2]["n_ips"] == 2
+    assert rows[3]["masked_text"] == ""
+    assert rows[3]["n_emails"] == rows[3]["n_phones"] == rows[3]["n_ips"] == 0
+
+
+def test_pii_mask_numeric_host_is_ip_not_email(spark):
+    # the email pattern requires an alphabetic TLD, so a numeric-host
+    # address is NOT an email — the IP pass masks the host part. Also
+    # pins the alpha-TLD case: the email pass consumes the whole
+    # address, leaving nothing IP-shaped behind.
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0, 1], "text": ["x root@10.0.0.1 y", "x bob@mail.example.com y"]}
+        )
+    )
+    rows = {r["doc_id"]: r for r in T.with_pii_masked(df).collect()}
+    assert rows[0]["masked_text"] == "x root@<IP> y"
+    assert rows[0]["n_emails"] == 0 and rows[0]["n_ips"] == 1
+    assert rows[1]["masked_text"] == "x <EMAIL> y"
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_ips"] == 0
+
+
+def test_repetition_features_known_values(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "a b a b a b",  # 6 toks, 2 distinct; top bigram 'a b' 3/5
+                    "one two three four",  # all distinct, each bigram once
+                    "solo",  # single token: no bigrams
+                    "",  # empty: all zeros
+                ],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in T.with_repetition_features(df).collect()}
+    assert rows[0]["n_tokens"] == 6
+    assert rows[0]["dup_word_frac"] == round(1 - 2 / 6, 6)
+    assert rows[0]["top_bigram_frac"] == round(3 / 5, 6)
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[1]["top_bigram_frac"] == round(1 / 3, 6)
+    assert rows[2]["n_tokens"] == 1 and rows[2]["top_bigram_frac"] == 0.0
+    assert rows[3]["n_tokens"] == 0
+    assert rows[3]["dup_word_frac"] == 0.0 and rows[3]["top_bigram_frac"] == 0.0
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """union+window as-of join == pandas merge_asof (direction
     'backward', allow_exact_matches=True) on a messy random series."""
