@@ -52,6 +52,8 @@ HEADLINE = [
     "topk_orders",
     "text_quality",
     "text_lang_id",
+    "text_pii_mask",
+    "text_repetition",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_incremental",
