@@ -67,7 +67,10 @@ def main() -> None:
         max_files=args.max_files,
     )
     q.awaitTermination()
-    n = sink.kept_docs(spark).count()
+    try:
+        n = sink.kept_docs(spark).count()
+    except Exception:
+        n = 0  # drained zero micro-batches: kept dir never created
     print(f"# kept corpus: {n} docs under {sink.kept_dir}", file=sys.stderr)
 
 

@@ -371,6 +371,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_cap: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate generation + exact-Jaccard verification
     restricted to the candidate pairs.
@@ -401,13 +402,17 @@ def minhash_lsh_pairs(
     hinted SHUFFLE_HASH so no broadcast subquery consumes the lazy
     caches — the broadcast-thread stampede that eager count() pins
     used to defeat (r02) cannot start, and calling this builder no
-    longer runs jobs as a side effect."""
+    longer runs jobs as a side effect. Repeated callers (one build
+    per streaming micro-batch) pass ``cache_registry`` to collect the
+    two persisted intermediates and unpersist them after the action."""
     # shingle_hashes is now fully NARROW (array_distinct per doc, no
     # shuffle); persisted because three consumers re-run the
     # parse+explode+md5 chain otherwise, and the cached form is just
     # (id, h) longs
     shh = shingle_hashes(docs, id_col, text_col, NGRAM_N).persist()
     sig = minhash_signatures_from_hashes(shh, MINHASH_K).persist()
+    if cache_registry is not None:
+        cache_registry.extend([shh, sig])
     # sz rides inside the band payload, so the pair rows already carry
     # both Jaccard denominators — no sizes joins at the end at all
     cand = (
@@ -813,6 +818,27 @@ def with_hyperplane_signature(
     )
 
 
+def _hyperplane_band_entries(
+    s: DataFrame, n_bands: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, band, bucket) band entries of a
+    :func:`with_hyperplane_signature` table: band b's bucket key IS
+    its per-band signature column ``sig_b`` — no bit slicing, no
+    shared packing budget (width up to 60 bits/band). The one
+    bucket-key contract shared by the batch LSH, the index builder,
+    and the incremental probe."""
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.col(f"sig_{b}").cast("string").alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    return s.select(id_col, F.explode(F.array(*band_entries)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     threshold: float = 0.3,
@@ -838,15 +864,6 @@ def embedding_neardup_lsh(
     # verify-join sides (all SHUFFLE_HASH-hinted — no broadcast thread
     # ever consumes the lazy cache, so no stampede, still lazy)
     s = with_hyperplane_signature(emb, planes, n_bands).persist()
-    # band b's bucket key IS its per-band signature column — no bit
-    # slicing, no shared packing budget (width up to 60 bits/band)
-    band_entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.col(f"sig_{b}").cast("string").alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
     # banding carries ONLY vec_id: shipping the 64-float embedding
     # arrays through collect_list + double explode duplicated each
     # bucket's full array set per member row — measured OOM at a 10k
@@ -855,9 +872,7 @@ def embedding_neardup_lsh(
     # verify joins the narrow candidate pairs back through the
     # signature table instead — the same shape as minhash's
     # hashed-shingle verify.
-    entries = s.select("vec_id", F.explode(F.array(*band_entries)).alias("bb")).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    entries = _hyperplane_band_entries(s, n_bands)
     cand = (
         band_bucket_pairs(entries, ["vec_id"], bucket_cap=bucket_cap)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
@@ -1006,6 +1021,36 @@ def dedup_near_keep(
 # ------------------------------------------------ incremental (batch-vs-corpus)
 
 
+def _cap_probed_index_buckets(
+    entries_cor: DataFrame,
+    probe_bb: DataFrame,
+    cap: int,
+    id_col: str,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Cap each PROBED (band, bucket) of a corpus index to its ``cap``
+    min-id members without shuffling the whole index: the index side
+    is first runtime-filtered to the buckets the batch actually
+    probes (left-semi on the batch's distinct (band, bucket) set,
+    broadcast when the batch is small), so the row_number window
+    sorts O(probed-bucket occupancy) rows instead of O(corpus) —
+    per-batch cost stays O(batch) even against a 100 TB corpus.
+    Filtering before capping is exact: a bucket's membership (hence
+    its min-id cap selection) does not depend on which buckets are
+    probed."""
+    from pyspark.sql import Window
+
+    if broadcast_probe:
+        probe_bb = F.broadcast(probe_bb)
+    probed = entries_cor.join(probe_bb, ["band", "bucket"], "left_semi")
+    w = Window.partitionBy("band", "bucket").orderBy(id_col)
+    return (
+        probed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+
+
 def minhash_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
@@ -1032,6 +1077,7 @@ def minhash_lsh_incremental_pairs(
     text_col: str = "text",
     bucket_cap: int | None = None,
     broadcast_batch: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an EXISTING corpus —
     the recurring-ingest form of :func:`minhash_lsh_pairs`. Returns
@@ -1046,15 +1092,21 @@ def minhash_lsh_incremental_pairs(
       (band, bucket) — the corpus side never pairs with itself, so
       candidate volume is O(batch x bucket-occupancy), not
       O(corpus^2);
-    - with ``bucket_cap``, the INDEX side of each (band, bucket) is
-      capped to its ``bucket_cap`` min-id members (deterministic), so
-      per-new-doc work is bounded by cap x bands candidates no matter
-      how viral a corpus family is (the cross-skew guard: a viral
-      batch family x a viral corpus family in one bucket is
-      m_new x m_cor pairs uncapped, m_new x cap capped — linear in
-      the batch). Matching ANY member of a capped family suffices for
-      drop decisions, so recall loss only affects pair LISTINGS, not
-      :func:`dedup_incremental_keep`;
+    - with ``bucket_cap``, the INDEX side of each PROBED
+      (band, bucket) is capped to its ``bucket_cap`` min-id members
+      (deterministic; the index is runtime-filtered to the probed
+      buckets FIRST, so the cap window never shuffles the whole
+      index — see :func:`_cap_probed_index_buckets`). Per-new-doc
+      work is then bounded by cap x bands candidates no matter how
+      viral a corpus family is. Capping is a bounded-cost/bounded-
+      recall trade, not exact: for a homogeneous viral family
+      (mutual near-dups — the shape the guard exists for) matching
+      any retained member suffices for the drop decision, but in a
+      heterogeneous near-threshold bucket the cap can exclude the
+      one corpus member that would verify, so
+      :func:`dedup_incremental_keep` may keep a doc whose only
+      near-dup was capped away. ``bucket_cap=None`` is the exact
+      (oracle-parity) mode;
     - verify: exact Jaccard through the hashed-shingle tables
       (long-typed equi-joins, identical contract to
       :func:`minhash_lsh_pairs`; the DuckDB oracle replays it
@@ -1074,19 +1126,26 @@ def minhash_lsh_incremental_pairs(
     by id (Iceberg) and the joins stay corpus-shuffle-free in storage
     instead. Signature independence (a doc's MinHash depends on
     nothing but its own shingles) is what makes the split exact:
-    index-then-filter == filter-then-index."""
+    index-then-filter == filter-then-index.
+
+    The build persists two intermediates (the batch shingle table and
+    the candidate set). Per-micro-batch callers (the streaming ingest
+    sink) pass ``cache_registry`` — a list the persisted DataFrames
+    are appended to — and unpersist after their action; without it a
+    long-running process leaks two cached DataFrames per call."""
     shh_new = shingle_hashes(new_docs, id_col, text_col, NGRAM_N).persist()
+    if cache_registry is not None:
+        cache_registry.append(shh_new)
     sig_new = minhash_signatures_from_hashes(shh_new, MINHASH_K)
     entries_new = _minhash_band_entries(sig_new)
     entries_cor, shh_cor = corpus_index
     if bucket_cap is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bucket").orderBy("id")
-        entries_cor = (
-            entries_cor.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
+        entries_cor = _cap_probed_index_buckets(
+            entries_cor,
+            entries_new.select("band", "bucket").distinct(),
+            bucket_cap,
+            "id",
+            broadcast_probe=broadcast_batch,
         )
     en = entries_new.select(
         "band",
@@ -1113,6 +1172,8 @@ def minhash_lsh_incremental_pairs(
         # candidates feed the verify join AND the runtime filter below;
         # lazy persist so the corpus-entries probe runs once, not twice
         cand = cand.persist()
+        if cache_registry is not None:
+            cache_registry.append(cand)
         cand_ids = F.broadcast(
             cand.select(F.col("id_corpus").alias("id")).distinct()
         )
@@ -1148,14 +1209,18 @@ def dedup_incremental_keep(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_cap: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """The new-batch rows that survive incremental dedup: every new
     doc with NO verified near-dup already in the corpus. Left-anti on
     the matched id set — no row explosion; the batch-ingest analogue
     of :func:`dedup_near_keep` (within-batch duplicates are a
-    separate :func:`minhash_lsh_pairs` pass over the batch alone)."""
+    separate :func:`minhash_lsh_pairs` pass over the batch alone).
+    ``cache_registry`` passes through to the pair build (see
+    :func:`minhash_lsh_incremental_pairs`)."""
     matched = minhash_lsh_incremental_pairs(
-        new_docs, corpus_index, threshold, id_col, text_col, bucket_cap
+        new_docs, corpus_index, threshold, id_col, text_col, bucket_cap,
+        cache_registry=cache_registry,
     ).select(F.col("id_new").alias(id_col))
     return new_docs.join(matched, id_col, "left_anti")
 
@@ -1183,16 +1248,7 @@ def embedding_index(
     oracle relies on."""
     planes = hyperplanes(dim, n_planes)
     s = with_hyperplane_signature(emb, planes, n_bands)
-    band_entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.col(f"sig_{b}").cast("string").alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
-    entries = s.select("vec_id", F.explode(F.array(*band_entries)).alias("bb")).select(
-        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    entries = _hyperplane_band_entries(s, n_bands)
     sigtab = s.select("vec_id", "embedding", "nrm")
     return entries, sigtab
 
@@ -1206,6 +1262,7 @@ def embedding_incremental_pairs(
     n_bands: int = EMB_LSH_BANDS,
     bucket_cap: int | None = None,
     broadcast_batch: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs between a NEW embedding batch and an EXISTING
     corpus index — the recurring-ingest form of
@@ -1216,10 +1273,14 @@ def embedding_incremental_pairs(
     - candidates: equi-join batch band entries x index entries on
       (band, bucket); the corpus never pairs with itself, so volume
       is O(batch x bucket-occupancy);
-    - ``bucket_cap`` caps the INDEX side of each (band, bucket) to
-      its min-id members (cross-skew guard — a viral corpus family
-      costs each new doc at most cap x bands candidates; matching ANY
-      member suffices for drop decisions);
+    - ``bucket_cap`` caps the INDEX side of each PROBED
+      (band, bucket) to its min-id members, after runtime-filtering
+      the index to the probed buckets so the cap window never
+      shuffles the whole index (:func:`_cap_probed_index_buckets`).
+      Bounded cost, bounded recall: a homogeneous viral family needs
+      only one retained match for the drop decision, but a
+      heterogeneous near-threshold bucket can lose its one verifying
+      member to the cap — ``None`` is the exact mode;
     - verify: exact cosine6 through the index ``sigtab`` with
       precomputed norms (same narrow-candidates-then-rejoin shape as
       the batch LSH — embedding arrays never ride the banding join).
@@ -1230,35 +1291,29 @@ def embedding_incremental_pairs(
     sigtab is runtime-filtered by a broadcast left-semi on the
     distinct candidate ids before the verify join, so only candidate
     vectors (O(batch x cap x bands)) reach that join. Disable it for
-    batches too large to broadcast and rely on storage bucketing."""
+    batches too large to broadcast and rely on storage bucketing.
+
+    Persists the batch signature table and the candidate set; pass
+    ``cache_registry`` from per-micro-batch callers to unpersist
+    them after the action (see :func:`minhash_lsh_incremental_pairs`)."""
     planes = hyperplanes(dim, n_planes)
     s_new = with_hyperplane_signature(new_emb, planes, n_bands).persist()
-    band_entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.col(f"sig_{b}").cast("string").alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
-    en = (
-        s_new.select("vec_id", F.explode(F.array(*band_entries)).alias("bb"))
-        .select(
-            F.col("vec_id").alias("id_new"),
-            F.col("bb.band").alias("band"),
-            F.col("bb.bucket").alias("bucket"),
-        )
+    if cache_registry is not None:
+        cache_registry.append(s_new)
+    entries_new = _hyperplane_band_entries(s_new, n_bands)
+    en = entries_new.select(
+        F.col("vec_id").alias("id_new"), "band", "bucket"
     )
     if broadcast_batch:
         en = F.broadcast(en)
     entries_cor, sig_cor = corpus_index
     if bucket_cap is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bucket").orderBy("vec_id")
-        entries_cor = (
-            entries_cor.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
+        entries_cor = _cap_probed_index_buckets(
+            entries_cor,
+            entries_new.select("band", "bucket").distinct(),
+            bucket_cap,
+            "vec_id",
+            broadcast_probe=broadcast_batch,
         )
     cand = (
         en.join(
@@ -1274,6 +1329,8 @@ def embedding_incremental_pairs(
         # candidates feed the verify join AND the runtime filter; lazy
         # persist so the corpus-entries probe runs once, not twice
         cand = cand.persist()
+        if cache_registry is not None:
+            cache_registry.append(cand)
         cand_ids = F.broadcast(
             cand.select(F.col("id_corpus").alias("vec_id")).distinct()
         )
@@ -1314,13 +1371,16 @@ def embedding_incremental_keep(
     n_planes: int = EMB_LSH_PLANES,
     n_bands: int = EMB_LSH_BANDS,
     bucket_cap: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """The new-batch vectors that survive incremental embedding dedup:
     every new vector with NO verified near-dup already in the corpus.
     Left-anti on the matched id set — the embedding twin of
     :func:`dedup_incremental_keep` (within-batch duplicates are a
-    separate :func:`embedding_neardup_lsh` pass over the batch alone)."""
+    separate :func:`embedding_neardup_lsh` pass over the batch alone).
+    ``cache_registry`` passes through to the pair build."""
     matched = embedding_incremental_pairs(
-        new_emb, corpus_index, threshold, dim, n_planes, n_bands, bucket_cap
+        new_emb, corpus_index, threshold, dim, n_planes, n_bands, bucket_cap,
+        cache_registry=cache_registry,
     ).select(F.col("id_new").alias("vec_id"))
     return new_emb.join(matched, "vec_id", "left_anti")

@@ -32,12 +32,24 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dedup as D
 
 DOCS_SCHEMA_DDL = "doc_id long, text string"
+
+
+def _is_path_missing(e: AnalysisException) -> bool:
+    """True iff the AnalysisException is the read-side path-not-found
+    — the ONLY failure that legitimately means 'no corpus yet'. Any
+    other read error (transient FS fault, torn footer) must propagate:
+    swallowing it would silently skip corpus dedup for the batch and
+    permanently admit duplicates."""
+    cond = getattr(e, "getCondition", None) or getattr(e, "getErrorClass", None)
+    name = cond() if cond is not None else ""
+    return name == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e)
 
 
 class IngestDedupSink:
@@ -57,31 +69,60 @@ class IngestDedupSink:
         self.bucket_cap = bucket_cap
 
     def _read_index(
-        self, spark: SparkSession
+        self, spark: SparkSession, batch_id: int
     ) -> tuple[DataFrame, DataFrame] | None:
+        """The corpus index EXCLUDING this batch's own partition.
+
+        foreachBatch is at-least-once: a batch replayed after a crash
+        that happened between the partition writes and the checkpoint
+        commit would otherwise read its OWN previous output, match
+        every doc against its identical self (jaccard=1.0), and
+        overwrite its partitions empty — permanently dropping the
+        batch. Filtering ingest_batch != batch_id makes the replay
+        see exactly the pre-batch corpus, so the rewrite is
+        bit-identical to the first attempt."""
         try:
             entries = spark.read.parquet(self.entries_dir)
             shh = spark.read.parquet(self.shingles_dir)
-        except Exception:
-            return None  # first batch: no corpus yet
+        except AnalysisException as e:
+            if _is_path_missing(e):
+                return None  # genuine first batch: no corpus yet
+            raise
+        entries = entries.filter(F.col("ingest_batch") != batch_id)
+        shh = shh.filter(F.col("ingest_batch") != batch_id)
         return entries.drop("ingest_batch"), shh.drop("ingest_batch")
 
     def __call__(self, batch_docs: DataFrame, batch_id: int) -> None:
         spark = batch_docs.sparkSession
         batch_docs = batch_docs.select("doc_id", "text")
-        # (1) within-batch near-dup components -> min-id survivor
+        caches: list[DataFrame] = []
+        # (1) within-batch near-dup components -> min-id survivor;
+        # same bucket_cap as the corpus probe, so a viral drop file
+        # (one huge near-dup family in a single batch) degrades to
+        # the chain-capped pair shape instead of quadratic pairs
         within = D.dedup_near_keep(
-            batch_docs, D.minhash_lsh_pairs(batch_docs, self.threshold)
+            batch_docs,
+            D.minhash_lsh_pairs(
+                batch_docs,
+                self.threshold,
+                bucket_cap=self.bucket_cap,
+                cache_registry=caches,
+            ),
         )
         # (2) against the kept corpus via the persistent index
-        idx = self._read_index(spark)
+        idx = self._read_index(spark, batch_id)
         if idx is not None:
             kept = D.dedup_incremental_keep(
-                within, idx, self.threshold, bucket_cap=self.bucket_cap
+                within,
+                idx,
+                self.threshold,
+                bucket_cap=self.bucket_cap,
+                cache_registry=caches,
             )
         else:
             kept = within
         kept = kept.persist()  # feeds the doc write AND both index builds
+        caches.append(kept)
         try:
             # (3) append docs + index rows, idempotently per batch
             part = f"ingest_batch={batch_id}"
@@ -96,7 +137,12 @@ class IngestDedupSink:
                 os.path.join(self.shingles_dir, part)
             )
         finally:
-            kept.unpersist()
+            # unpersist everything this batch pinned (the kept docs
+            # plus the pair build's shingle/candidate caches) — a
+            # continuous run over thousands of micro-batches must not
+            # grow executor storage without bound
+            for df in caches:
+                df.unpersist()
 
     def kept_docs(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.kept_dir).drop("ingest_batch")

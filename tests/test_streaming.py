@@ -533,3 +533,54 @@ def test_streaming_ingest_dedup_grows_corpus(spark, tmp_path):
         for r in spark.read.parquet(sink.entries_dir).select("id").distinct().collect()
     }
     assert idx_ids == {1, 3, 11}
+
+
+def test_ingest_dedup_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch re-delivered after a
+    crash BETWEEN the partition writes and the checkpoint commit runs
+    the sink again with the same batch_id. The replay must not see the
+    batch's own previous output in the index (it would match every doc
+    against its identical self and overwrite the partition EMPTY —
+    permanently dropping the batch); it must rewrite bit-identical
+    results. Also pins the cache hygiene: every RDD the sink pins per
+    batch is unpersisted before it returns."""
+    import pandas as pd
+
+    from logmetrics_spark.streaming.ingest_dedup import IngestDedupSink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts calibrate the orbital telescope before dawn"
+    )
+    fresh = "completely unrelated corpus content about spark physical plans"
+    sink = IngestDedupSink(str(tmp_path / "corpus"), threshold=0.3)
+
+    b0 = spark.createDataFrame(
+        pd.DataFrame([(1, base), (3, fresh)], columns=["doc_id", "text"])
+    )
+    sink(b0, 0)
+    # batch 1: doc 10 clones kept doc 1 (dropped), doc 11 is fresh
+    b1 = spark.createDataFrame(
+        pd.DataFrame(
+            [(10, base + " again"), (11, fresh + " with brand new tokens")],
+            columns=["doc_id", "text"],
+        )
+    )
+    sink(b1, 1)
+    kept_first = sorted(r["doc_id"] for r in sink.kept_docs(spark).collect())
+    assert kept_first == [1, 3, 11], kept_first
+
+    # replay batch 1 (same batch_id, same data): output unchanged —
+    # in particular batch 1's partition is NOT emptied by self-matching
+    sink(b1, 1)
+    kept_replay = sorted(r["doc_id"] for r in sink.kept_docs(spark).collect())
+    assert kept_replay == [1, 3, 11], kept_replay
+    idx_ids = {
+        r["id"]
+        for r in spark.read.parquet(sink.entries_dir).select("id").distinct().collect()
+    }
+    assert idx_ids == {1, 3, 11}
+    # no CacheManager-cached plan survives the batch (continuous runs
+    # must not leak; localCheckpoint RDDs are excluded — those are
+    # weakly held and reclaimed by the ContextCleaner on GC)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
