@@ -846,6 +846,7 @@ def embedding_neardup_lsh(
     n_planes: int = EMB_LSH_PLANES,
     n_bands: int = EMB_LSH_BANDS,
     bucket_cap: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Scale-path embedding near-dup: random-hyperplane signature ->
     band buckets -> exact cosine only within buckets.
@@ -856,14 +857,19 @@ def embedding_neardup_lsh(
     construction (probabilistic banding — widen bands/add planes to
     trade candidate volume for recall at scale); precision 1.0. The
     deterministic planes make the whole computation reproducible in
-    ANSI SQL. Returns (id_a, id_b, cos6). Fully lazy — no persists,
-    no side effects at build time; ``bucket_cap`` is the shared skew
-    guard (see :func:`band_bucket_pairs`)."""
+    ANSI SQL. Returns (id_a, id_b, cos6). Fully lazy — no eager
+    actions, no side effects at build time; ``bucket_cap`` is the
+    shared skew guard (see :func:`band_bucket_pairs`). The one
+    persisted intermediate (the signature table) is appended to
+    ``cache_registry`` when given, for repeated callers to unpersist
+    after their action."""
     planes = hyperplanes(dim, n_planes)
     # persisted: the signature table feeds the band explode AND both
     # verify-join sides (all SHUFFLE_HASH-hinted — no broadcast thread
     # ever consumes the lazy cache, so no stampede, still lazy)
     s = with_hyperplane_signature(emb, planes, n_bands).persist()
+    if cache_registry is not None:
+        cache_registry.append(s)
     # banding carries ONLY vec_id: shipping the 64-float embedding
     # arrays through collect_list + double explode duplicated each
     # bucket's full array set per member row — measured OOM at a 10k

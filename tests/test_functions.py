@@ -581,3 +581,28 @@ def test_asof_join_nullable_right_columns_stay_atomic(spark):
     row = asof_join(left, right, by="k", on="ts").collect()[0]
     assert row["b"] == 7.0
     assert row["a"] is None, "field back-filled from an older right row"
+
+
+def test_cap_probed_index_buckets_filter_then_cap_is_exact(spark):
+    """The cap window runs AFTER runtime-filtering the index to the
+    probed (band, bucket) set — O(probed buckets), never an O(corpus)
+    index shuffle. Filtering first must not change the selection: a
+    bucket's min-id cap members don't depend on which buckets are
+    probed, and unprobed buckets contribute nothing downstream."""
+    entries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "band": [0] * 5 + [1] * 3,
+                "bucket": ["x"] * 5 + ["y"] * 3,
+                "id": [50, 10, 30, 20, 40, 7, 9, 8],
+            }
+        )
+    )
+    probe = spark.createDataFrame(pd.DataFrame({"band": [0], "bucket": ["x"]}))
+    out = D._cap_probed_index_buckets(entries, probe, cap=2, id_col="id").collect()
+    # probed bucket (0, x): its 2 min ids, same as a global cap would
+    # pick; unprobed bucket (1, y) absent entirely
+    assert sorted((r["band"], r["bucket"], r["id"]) for r in out) == [
+        (0, "x", 10),
+        (0, "x", 20),
+    ]
