@@ -63,6 +63,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "sessionize",
     "multimodal_decode",
+    "decontaminate",
+    "pack_sequences",
 ]
 
 

@@ -1897,3 +1897,85 @@ def q_range_join_sessions(spark, sf_dir):
         by="user_id", bucket=600,
     )
     return out.select("event_id", "user_id", "signup_event")
+
+
+def _decontam_sql(n: int = 8, min_hits: int = 1) -> str:
+    grams = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return f"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, {grams} AS shingle
+      FROM (SELECT doc_id, string_split_regex(trim({_NORM_SQL}), '\\s+') AS toks
+            FROM documents) s,
+           unnest(generate_series(1, greatest(len(toks) - {n - 1}, 0))) t(i)
+    ),
+    shh AS (SELECT id, {MD5_52_SQL.format(x='shingle')} AS h FROM sh),
+    bench AS (SELECT DISTINCT h FROM shh WHERE id % 17 = 0),
+    hits AS (
+      SELECT s.id AS doc_id, COUNT(*) AS bench_ngram_hits
+      FROM shh s JOIN bench b ON s.h = b.h
+      WHERE s.id % 17 <> 0
+      GROUP BY s.id
+    )
+    SELECT doc_id, bench_ngram_hits FROM hits
+    WHERE bench_ngram_hits >= {min_hits}
+    """
+
+
+@q("decontaminate", _decontam_sql(n=4))
+def q_decontaminate(spark, sf_dir):
+    """Train-test decontamination: every training doc (doc_id % 17
+    != 0) sharing >= 1 distinct word 4-gram with any benchmark doc
+    (doc_id % 17 == 0), with its distinct-hit count — the exact
+    span-overlap pass a training corpus runs against eval sets before
+    release (GPT-3 used 13-grams; 4 here because the fixture docs are
+    tens of tokens). The benchmark's n-gram hash set broadcasts; the
+    corpus never shuffles shingles. Graft op (no reference
+    counterpart); engine: dedup.contamination_report /
+    dedup.decontaminate."""
+    d = _t(spark, sf_dir, "documents")
+    return D.contamination_report(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+        n=4,
+    )
+
+
+def _pack_sql(budget: int = 64, n_groups: int = 8) -> str:
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, doc_id % {n_groups} AS grp, {_TOKC_SQL} AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % {n_groups}
+                                ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT grp, rn, doc_id, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id, n_tokens AS fill
+      FROM toks WHERE rn = 1
+      UNION ALL
+      SELECT t.grp, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.fill + t.n_tokens <= {budget}
+                  THEN p.bin_id ELSE p.bin_id + 1 END,
+             CASE WHEN p.fill + t.n_tokens <= {budget}
+                  THEN p.fill + t.n_tokens ELSE t.n_tokens END
+      FROM packed p JOIN toks t ON t.grp = p.grp AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, grp, bin_id, n_tokens FROM packed
+    """
+
+
+@q("pack_sequences", _pack_sql())
+def q_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing into 64-token context windows, corpus
+    sharded into 8 deterministic groups (doc_id % 8) packed
+    independently in id order — the corpus-assembly step between
+    cleaning and tokenized training shards. Exact greedy is
+    sequential, so parallelism comes from the shard: one
+    applyInPandas task per group, bit-stable across cluster sizes.
+    The oracle replays the same greedy fold as a recursive CTE.
+    Graft op (no reference counterpart); engine:
+    sampling.pack_sequences."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions.sampling import pack_sequences
+
+    return pack_sequences(d, budget=64, n_groups=8)

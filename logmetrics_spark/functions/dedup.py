@@ -1390,3 +1390,62 @@ def embedding_incremental_keep(
         cache_registry=cache_registry,
     ).select(F.col("id_new").alias("vec_id"))
     return new_emb.join(matched, "vec_id", "left_anti")
+
+
+# ------------------------------------------------ benchmark decontamination
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(doc_id, bench_ngram_hits) for every training doc sharing >=
+    ``min_hits`` distinct word ``n``-grams with ANY benchmark
+    document — the train-test decontamination pass every serious
+    training corpus runs before a model sees it (a benchmark answer
+    leaked verbatim into the training set inflates eval scores).
+    Exact n-gram membership, not LSH: contamination is about literal
+    span overlap, so the standard contract is "any shared n-gram of
+    length n" (GPT-3 used 13-gram overlap; default 8 here because
+    the fixture docs are short).
+
+    Scale shape (100 TB corpus, MB-scale eval sets): the benchmark's
+    distinct n-gram hash set is tiny — it BROADCASTS, so the corpus
+    side is one narrow scan -> shingle-hash map -> broadcast hash
+    semi-join, with the only shuffle the per-doc hit groupBy (keyed
+    by doc id, bounded by contaminated docs). The corpus never
+    shuffles its shingles. n-grams ride as 52-bit hashes
+    (:func:`shingle_hashes`) — the md5 contract the DuckDB oracle
+    replays bit-for-bit, and raw n-gram strings never leave the map
+    side. Graft op: no reference counterpart (reference is a log
+    metrics pipeline; see SURVEY.md section 2 LLM-pipeline ops)."""
+    doc_h = shingle_hashes(docs, id_col, text_col, n)
+    bench = shingle_hashes(benchmark, id_col, text_col, n).select("h").distinct()
+    return (
+        doc_h.join(F.broadcast(bench), "h")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("bench_ngram_hits"))
+        .filter(F.col("bench_ngram_hits") >= min_hits)
+        .select(F.col("id").alias(id_col), "bench_ngram_hits")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The training docs that SURVIVE decontamination: left-anti on
+    the :func:`contamination_report` id set — no row explosion, the
+    same keep shape as :func:`dedup_near_keep`."""
+    flagged = contamination_report(
+        docs, benchmark, id_col, text_col, n, min_hits
+    ).select(id_col)
+    return docs.join(flagged, id_col, "left_anti")

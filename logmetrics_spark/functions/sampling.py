@@ -70,3 +70,64 @@ def stratified_sample(
     skew (each stratum is sampled from its own hash stream)."""
     u = _unit(F.concat_ws("|", F.col(strata_col), F.col(id_col).cast("string")))
     return docs.filter(u < F.lit(fraction))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_groups: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy sequence packing: assign each document to a fixed
+    token-budget bin ("context window") — the corpus-assembly step
+    between cleaning and tokenized training shards. Returns
+    (id, grp, bin_id, n_tokens); (grp, bin_id) is the window key.
+
+    Exact greedy packing is inherently sequential (each bin decision
+    depends on the running fill), so the corpus is first sharded
+    deterministically — grp = id % n_groups — and packed greedily in
+    id order WITHIN each group: a doc joins the current bin while
+    fill + n_tokens <= budget, else opens a new bin (an over-budget
+    doc gets a bin of its own; downstream truncation is the trainer's
+    call). This shard-then-pack shape is how production packers
+    parallelize: groups pack independently (one applyInPandas task
+    each, the only shuffle), sequential cost is O(group size), and
+    results are bit-stable across cluster sizes because neither the
+    sharding (pure modulo) nor the in-group order (sort by id) depends
+    on partitioning. Size n_groups ~ a small multiple of cluster
+    parallelism so each group streams through one task; packing
+    efficiency loss vs global greedy is O(1) windows per group.
+
+    Token counts are the engine-wide whitespace contract
+    (:func:`~logmetrics_spark.functions.text.token_count`), replayed
+    exactly by the DuckDB oracle (recursive-CTE fold over the same
+    order). Graft op: no reference counterpart."""
+    import pandas as pd
+
+    from .text import token_count
+
+    toks = docs.select(
+        F.col(id_col),
+        (F.col(id_col) % F.lit(n_groups)).alias("grp"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        t = pdf["n_tokens"].to_numpy()
+        bins = [0] * len(t)
+        b = -1
+        fill = 0
+        for i, tok in enumerate(t):
+            if b < 0 or fill + int(tok) > budget:
+                b += 1
+                fill = int(tok)
+            else:
+                fill += int(tok)
+            bins[i] = b
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf[[id_col, "grp", "bin_id", "n_tokens"]]
+
+    schema = f"{id_col} long, grp long, bin_id long, n_tokens long"
+    return toks.groupBy("grp").applyInPandas(pack, schema=schema)

@@ -606,3 +606,76 @@ def test_cap_probed_index_buckets_filter_then_cap_is_exact(spark):
         (0, "x", 10),
         (0, "x", 20),
     ]
+
+
+def test_decontaminate_drops_benchmark_overlap(spark):
+    """A training doc containing a benchmark span verbatim is flagged
+    with its distinct shared-n-gram count and dropped by
+    decontaminate; disjoint docs survive."""
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1000], "text": ["what is the capital of france paris"]}
+        )
+    )
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    # contains the benchmark 5-gram span verbatim
+                    "trivia night recap what is the capital of france "
+                    "paris said the host",
+                    "completely unrelated text about spark physical plans",
+                ],
+            }
+        )
+    )
+    rep = D.contamination_report(docs, bench, n=5).collect()
+    assert [r["doc_id"] for r in rep] == [1]
+    # shared distinct 5-grams of doc 1 with the benchmark span:
+    # the 7-token span contains 3 distinct 5-grams
+    assert rep[0]["bench_ngram_hits"] == 3
+    kept = sorted(
+        r["doc_id"] for r in D.decontaminate(docs, bench, n=5).collect()
+    )
+    assert kept == [2]
+
+
+def test_pack_sequences_greedy_and_overflow(spark):
+    """Greedy fill within the group in id order: bin changes exactly
+    when the running fill would exceed the budget, and an over-budget
+    doc gets a bin of its own (no silent drop)."""
+    from logmetrics_spark.functions.sampling import pack_sequences
+
+    texts = {
+        0: "a b c",            # 3 tokens -> bin 0 (fill 3)
+        8: "d e f g",          # 4 tokens -> bin 0 (fill 7)
+        16: "h i j",           # 3 tokens -> would be 10 > 8: bin 1
+        24: " ".join("x" * 1 for _ in range(12)),  # 12 > budget: own bin 2
+        32: "k l",             # 2 tokens -> bin 3 (overflow doc closed 2)
+    }
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(texts), "text": [texts[k] for k in texts]}
+        )
+    )
+    out = {
+        r["doc_id"]: (r["grp"], r["bin_id"], r["n_tokens"])
+        for r in pack_sequences(docs, budget=8, n_groups=8).collect()
+    }
+    assert out == {
+        0: (0, 0, 3),
+        8: (0, 0, 4),
+        16: (0, 1, 3),
+        24: (0, 2, 12),
+        32: (0, 3, 2),
+    }
+    # bit-stable under repartitioning (shard + in-group sort, not
+    # partition order)
+    out2 = {
+        r["doc_id"]: (r["grp"], r["bin_id"], r["n_tokens"])
+        for r in pack_sequences(
+            docs.repartition(7), budget=8, n_groups=8
+        ).collect()
+    }
+    assert out2 == out
