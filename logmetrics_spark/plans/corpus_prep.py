@@ -1,0 +1,120 @@
+"""End-to-end training-corpus preparation plan.
+
+Composes the engine's corpus operators into the batch job a
+training-data pipeline actually runs over a raw document dump:
+
+1. quality + language filter (pure Catalyst exprs fused into the
+   scan projection — one pass, no shuffle),
+2. exact dedup (hash groupBy, min-id keeper),
+3. near-dup dedup (MinHash LSH pairs -> connected components ->
+   min-id survivor per near-dup family),
+4. optional benchmark decontamination (broadcast n-gram set,
+   :func:`~logmetrics_spark.functions.dedup.decontaminate`),
+5. PII masking (typed placeholder tokens, per-doc counts),
+6. deterministic train/val/test split (hash assignment — stable
+   under corpus growth and re-runs),
+7. greedy sequence packing per split (shard-then-pack,
+   :func:`~logmetrics_spark.functions.sampling.pack_sequences`).
+
+Scale shape: stages 1-2 are one scan + one shuffle; stage 3 is the
+LSH plan (one banding shuffle + narrow pair explode + hashed-shingle
+verify joins); stage 4 adds a broadcast semi-join + one bounded
+groupBy; stages 5-6 are pure projections/filters (zero shuffle);
+stage 7 is one Exchange per split. Nothing in the composition is
+quadratic or collects to the driver; every knob that guards skew
+(``bucket_cap``) or recall (``threshold``, ``n``) is surfaced.
+
+Graft plan — the reference (a log-metrics pipeline) has no corpus
+counterpart; this is the LLM-training-data surface of SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..functions import sampling as S
+from ..functions import text as T
+
+
+@dataclasses.dataclass(frozen=True)
+class CorpusPrepConfig:
+    lang: str = "en"
+    min_tokens: int = 5
+    max_punct_ratio: float = 0.3
+    neardup_threshold: float = 0.4
+    bucket_cap: int | None = 64
+    decontam_ngram: int = 8
+    decontam_min_hits: int = 1
+    split_ratios: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    )
+    pack_budget: int = 2048
+    pack_groups: int = 64
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    cfg: CorpusPrepConfig = CorpusPrepConfig(),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """Build the full prep plan lazily; returns the output tables.
+
+    ``docs`` columns are preserved through every stage (filters and
+    left-antis only drop rows), plus the added feature/split columns.
+    Returns ``{"corpus": ..., "packs": ...}``:
+
+    - ``corpus``: surviving docs with quality features, lang_pred,
+      masked_text, PII counts, and ``split`` — the table written
+      partitioned by split;
+    - ``packs``: (id, grp, bin_id, n_tokens, split) sequence-packing
+      manifest, packed independently PER SPLIT (a bin must never mix
+      train and test docs).
+    """
+    # (1) quality + lang gate: one fused projection
+    feat = T.with_lang_id(T.with_quality_features(docs, text_col), text_col)
+    kept = feat.filter(
+        (F.col("lang_pred") == cfg.lang)
+        & (F.col("n_tokens") >= cfg.min_tokens)
+        & (F.col("punct_ratio") <= cfg.max_punct_ratio)
+    )
+    # (2) exact dedup, min-id keeper
+    kept = D.dedup_keep(kept, id_col, text_col)
+    # (3) near-dup dedup over the survivors
+    pairs = D.minhash_lsh_pairs(
+        kept, cfg.neardup_threshold, id_col, text_col, bucket_cap=cfg.bucket_cap
+    )
+    kept = D.dedup_near_keep(kept, pairs, id_col)
+    # (4) benchmark decontamination (optional)
+    if benchmark is not None:
+        kept = D.decontaminate(
+            kept,
+            benchmark,
+            id_col,
+            text_col,
+            n=cfg.decontam_ngram,
+            min_hits=cfg.decontam_min_hits,
+        )
+    # (5) PII mask + (6) split: pure projections
+    kept = T.with_pii_masked(kept, text_col)
+    corpus = S.with_split(kept, dict(cfg.split_ratios), id_col)
+    # (7) pack per split — bins must not straddle splits, so pack the
+    # splits independently and tag the manifest
+    packs = None
+    for name, _ in cfg.split_ratios:
+        p = S.pack_sequences(
+            corpus.filter(F.col("split") == name),
+            budget=cfg.pack_budget,
+            n_groups=cfg.pack_groups,
+            id_col=id_col,
+            text_col=text_col,
+        ).withColumn("split", F.lit(name))
+        packs = p if packs is None else packs.unionByName(p)
+    return {"corpus": corpus, "packs": packs}

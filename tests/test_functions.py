@@ -679,3 +679,57 @@ def test_pack_sequences_greedy_and_overflow(spark):
         ).collect()
     }
     assert out2 == out
+
+
+def test_prepare_corpus_end_to_end(spark):
+    """The composed corpus-prep plan: quality gate drops junk, exact +
+    near-dup dedup keep min-id survivors, decontamination drops the
+    benchmark-overlap doc, splits partition the survivors, and packing
+    covers every surviving doc without bins straddling splits."""
+    from logmetrics_spark.plans.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts calibrate the orbital telescope before dawn"
+    )
+    bench_span = "what is the capital of france paris is the answer here"
+    rows = [
+        (1, base),                        # kept
+        (2, base),                        # exact dup of 1 -> dropped
+        (3, base + " tonight"),           # near-dup of 1 -> dropped
+        (4, "short"),                     # < min_tokens -> dropped
+        (5, "el que los es " * 4),        # not en -> dropped
+        (6, "trivia recap " + bench_span + " said the host with delight"),
+        (7, "completely unrelated text about spark physical plans and joins"),
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame([(900, bench_span)], columns=["doc_id", "text"])
+    )
+    out = prepare_corpus(
+        docs,
+        bench,
+        CorpusPrepConfig(
+            neardup_threshold=0.3, decontam_ngram=5, pack_budget=16,
+            pack_groups=4,
+        ),
+    )
+    corpus = out["corpus"].collect()
+    kept = sorted(r["doc_id"] for r in corpus)
+    assert kept == [1, 7], kept
+    # split column present and valid; PII mask columns rode through
+    assert {r["split"] for r in corpus} <= {"train", "val", "test"}
+    assert all("masked_text" in r.asDict() for r in corpus)
+    packs = out["packs"].collect()
+    # every surviving doc packed exactly once, in its own split's bins
+    assert sorted(r["doc_id"] for r in packs) == kept
+    by_id = {r["doc_id"]: r for r in packs}
+    splits = {r["doc_id"]: r["split"] for r in corpus}
+    for did, r in by_id.items():
+        assert r["split"] == splits[did]
+        assert r["n_tokens"] > 0
