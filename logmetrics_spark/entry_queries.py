@@ -1979,3 +1979,64 @@ def q_pack_sequences(spark, sf_dir):
     from .functions.sampling import pack_sequences
 
     return pack_sequences(d, budget=64, n_groups=8)
+
+
+@q(
+    "line_dedup",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(toks[(i*3+1):(i*3+3)], ' ') AS seg
+      FROM w, unnest(generate_series(0, CAST(ceil(len(toks)/3.0) AS INT) - 1)) t(i)
+    ),
+    kept AS (
+      SELECT doc_id, pos, seg FROM seg
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1
+    ),
+    norig AS (SELECT doc_id, COUNT(*) AS n_orig FROM seg GROUP BY doc_id)
+    SELECT k.doc_id,
+           string_agg(k.seg, ' ' ORDER BY k.pos) AS text,
+           COUNT(*) AS n_kept, ANY_VALUE(n_orig) AS n_orig
+    FROM kept k JOIN norig USING (doc_id)
+    GROUP BY k.doc_id
+    """,
+)
+def q_line_dedup(spark, sf_dir):
+    """C4-style duplicate-span removal across the corpus: keep only
+    the globally-first occurrence of each distinct segment (3-word
+    windows here — the synthetic docs are single-line; real corpora
+    use delim='\\n'), reassemble survivors in order, drop docs left
+    empty. Sub-document sibling of dedup_keep: boilerplate spans
+    (nav bars, cookie banners) repeat across billions of pages and
+    survive whole-document dedup. One min-struct groupBy (map-side
+    combine absorbs viral segments — deliberately NOT a row_number
+    window, which would sort a hot segment in one task), one equi-join
+    back, one bounded per-doc rebuild. Graft op; engine:
+    dedup.line_dedup."""
+    d = _t(spark, sf_dir, "documents")
+    return D.line_dedup(d, words_per_segment=3)
+
+
+@q(
+    "domain_cap",
+    """
+    SELECT doc_id, source FROM documents
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+    """,
+)
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (keep the 10 smallest ids per source)
+    — no single host may dominate the corpus. Deterministic winners,
+    and skew-safe BY CONSTRUCTION: an exact salted two-phase top-k
+    combiner (top-k of union == top-k of union of per-salt top-k)
+    instead of a row_number window, so the hot domain — the reason
+    the op exists — never sorts in a single task. Graft op; engine:
+    sampling.cap_per_group."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions.sampling import cap_per_group
+
+    return cap_per_group(d, "source", 10).select("doc_id", "source")

@@ -1434,6 +1434,81 @@ def contamination_report(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    words_per_segment: int | None = None,
+) -> DataFrame:
+    """C4-style duplicate-span removal ACROSS the corpus: split every
+    document into segments, keep only the globally-first occurrence of
+    each distinct segment (first = min (id, position)), and reassemble
+    the surviving segments in original order. Documents whose every
+    segment was seen earlier vanish entirely. This is the sub-document
+    sibling of :func:`dedup_keep` — boilerplate lines (nav bars, cookie
+    banners, license footers) repeat across billions of pages and
+    survive whole-document dedup.
+
+    Two segmentation modes: ``delim`` (default newline — the C4 "line"
+    rule) or ``words_per_segment=k`` (fixed k-word windows, for
+    single-line/no-newline corpora; also the registry mode since the
+    synthetic docs are single-line).
+
+    Returns (id, text_rebuilt, n_kept, n_orig). Scale shape: one
+    posexplode projection (narrow), ONE groupBy(seg) shuffle with full
+    map-side partial aggregation (min of an (id,pos) struct — a viral
+    segment reduces to one row per map partition before the exchange),
+    one hash join back on seg (1 row per firsts side — linear output
+    even for viral segments, AQE skew-split eligible), and one
+    groupBy(id) rebuild whose collect_list is bounded by document
+    length. Nothing quadratic, nothing driver-side, no window over a
+    skewed partition (the min-struct groupBy replaces the row_number
+    window precisely because partial aggregation absorbs hot segments
+    where a window would sort them in one task)."""
+    if words_per_segment is not None:
+        k = int(words_per_segment)
+        if k < 1:
+            raise ValueError(f"words_per_segment={k} must be >= 1")
+        w = F.split(F.trim(F.col(text_col)), r"\s+")
+        nseg = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
+        segs_expr = F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
+        )
+        join_delim = " "
+    else:
+        import re as _re
+
+        segs_expr = F.split(F.col(text_col), _re.escape(delim))
+        join_delim = delim
+    segs = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(segs_expr).alias("pos", "seg")
+    )
+    firsts = segs.groupBy("seg").agg(F.min(F.struct("id", "pos")).alias("first"))
+    kept = (
+        segs.join(firsts, "seg")
+        .filter((F.col("first.id") == F.col("id")) & (F.col("first.pos") == F.col("pos")))
+        .select("id", "pos", "seg")
+    )
+    n_orig = segs.groupBy("id").agg(F.count(F.lit(1)).alias("n_orig"))
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                join_delim,
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(n_orig, "id")
+        .select(F.col("id").alias(id_col), text_col, "n_kept", "n_orig")
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

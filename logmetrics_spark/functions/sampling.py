@@ -131,3 +131,47 @@ def pack_sequences(
 
     schema = f"{id_col} long, grp long, bin_id long, n_tokens long"
     return toks.groupBy("grp").applyInPandas(pack, schema=schema)
+
+
+def cap_per_group(
+    docs: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str = "doc_id",
+    n_salts: int = 64,
+) -> DataFrame:
+    """Keep at most ``cap`` documents per group — the per-domain cap a
+    webtext pipeline applies so no single host dominates the corpus
+    (content farms and mirror sites can contribute 10^8+ pages).
+    Deterministic winners: the ``cap`` SMALLEST ids per group, so the
+    kept set is stable across reruns and cluster sizes and shrinks
+    monotonically as cap tightens.
+
+    Skew is the whole problem here (the hot domain IS the reason the
+    op exists), so no row_number window — a window sorts each group in
+    ONE task and the hot domain becomes a straggler. Instead an exact
+    two-phase combiner (top-k of a union == top-k of the union of
+    per-part top-k, the same algebra as the reservoir combiner in
+    operators/aggregate.py): phase 1 groups by (group, salt) — salt =
+    id hash mod ``n_salts`` — and keeps each salt-shard's ``cap``
+    smallest ids; phase 2 merges the <= n_salts * cap survivors per
+    group. The hot group's phase-1 state is 1/n_salts of its rows per
+    shard (size n_salts ~ cluster parallelism), phase 2 is bounded by
+    n_salts * cap rows per group regardless of corpus size. The final
+    left-semi join is an equi-join on (group, id) — broadcast-able
+    when groups * cap is small. Returns ``docs`` filtered, columns
+    untouched."""
+    if cap < 1:
+        raise ValueError(f"cap={cap} must be >= 1")
+    salted = docs.select(
+        F.col(group_col), F.col(id_col),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)).alias("_salt"),
+    )
+    p1 = salted.groupBy(group_col, "_salt").agg(
+        F.slice(F.array_sort(F.collect_list(id_col)), 1, cap).alias("_ids")
+    )
+    p2 = p1.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_ids"))), 1, cap).alias("_ids")
+    )
+    winners = p2.select(group_col, F.explode("_ids").alias(id_col))
+    return docs.join(winners, [group_col, id_col], "left_semi")

@@ -733,3 +733,73 @@ def test_prepare_corpus_end_to_end(spark):
     for did, r in by_id.items():
         assert r["split"] == splits[did]
         assert r["n_tokens"] > 0
+
+
+def test_line_dedup_newline_mode(spark):
+    """Duplicate lines are kept only at their first (id, pos)
+    occurrence; doc order is preserved; fully-duplicated docs drop."""
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (1, f"alpha content\n{boiler}\nmore alpha"),
+        (2, f"{boiler}\nbeta content"),      # boiler drops, beta stays
+        (3, boiler),                          # nothing left -> doc gone
+        (4, f"gamma one\ngamma one\ngamma two"),  # within-doc dup drops
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_orig"])
+        for r in D.line_dedup(docs).collect()
+    }
+    assert out == {
+        1: (f"alpha content\n{boiler}\nmore alpha", 3, 3),
+        2: ("beta content", 1, 2),
+        4: ("gamma one\ngamma two", 2, 3),
+    }
+
+
+def test_line_dedup_segments_matches_naive(spark):
+    """k-word segmentation mode vs a sequential pure-Python replay."""
+    import hashlib
+
+    vocab = ["ab", "cd", "ef", "gh"]
+    rows = []
+    for i in range(40):
+        h = hashlib.md5(f"ld{i}".encode()).hexdigest()
+        words = [vocab[int(c, 16) % len(vocab)] for c in h[:11]]
+        rows.append((i, " ".join(words)))
+    k = 2
+    seen, expect = set(), {}
+    for i, text in rows:  # rows are id-ordered: greedy first-occurrence
+        toks = text.split()
+        segs = [" ".join(toks[j : j + k]) for j in range(0, len(toks), k)]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        if kept:
+            expect[i] = (" ".join(kept), len(kept), len(segs))
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_orig"])
+        for r in D.line_dedup(docs, words_per_segment=k).collect()
+    }
+    assert out == expect
+
+
+def test_cap_per_group_exact_and_small_groups(spark):
+    from logmetrics_spark.functions.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(50)] + [(100, "tiny")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "grp"]))
+    for salts in (1, 3, 64):
+        out = sorted(
+            (r["grp"], r["doc_id"])
+            for r in cap_per_group(docs, "grp", 5, n_salts=salts).collect()
+        )
+        expect = sorted(
+            (g, i)
+            for g in ["g0", "g1", "g2", "tiny"]
+            for i in sorted(i2 for i2, g2 in rows if g2 == g)[:5]
+        )
+        assert out == expect, salts
