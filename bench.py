@@ -65,6 +65,8 @@ HEADLINE = [
     "multimodal_decode",
     "decontaminate",
     "pack_sequences",
+    "line_dedup",
+    "domain_cap",
 ]
 
 

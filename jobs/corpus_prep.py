@@ -45,6 +45,21 @@ def main() -> None:
         help="viral-bucket candidate cap for the LSH pass (0 disables)",
     )
     ap.add_argument("--decontam-ngram", type=int, default=8)
+    ap.add_argument(
+        "--line-dedup-delim", default=None,
+        help="enable C4-style duplicate-span removal, splitting on this "
+        "literal delimiter (e.g. $'\\n')",
+    )
+    ap.add_argument(
+        "--line-dedup-words", type=int, default=None,
+        help="duplicate-span removal with fixed k-word segments "
+        "(single-line corpora)",
+    )
+    ap.add_argument(
+        "--cap-per-source", type=int, default=None,
+        help="keep at most N docs per --source-col group after dedup",
+    )
+    ap.add_argument("--source-col", default="source")
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--pack-groups", type=int, default=64)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -73,6 +88,10 @@ def main() -> None:
         neardup_threshold=args.neardup_threshold,
         bucket_cap=args.bucket_cap or None,
         decontam_ngram=args.decontam_ngram,
+        line_dedup_delim=args.line_dedup_delim,
+        line_dedup_words=args.line_dedup_words,
+        cap_per_source=args.cap_per_source,
+        source_col=args.source_col,
         pack_budget=args.pack_budget,
         pack_groups=args.pack_groups,
     )

@@ -1434,6 +1434,9 @@ def contamination_report(
     )
 
 
+_LD_POS_BITS = 22  # line_dedup (id,pos) packing: pos < 2^22, id < 2^41
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1457,8 +1460,11 @@ def line_dedup(
 
     Returns (id, text_rebuilt, n_kept, n_orig). Scale shape: one
     posexplode projection (narrow), ONE groupBy(seg) shuffle with full
-    map-side partial aggregation (min of an (id,pos) struct — a viral
-    segment reduces to one row per map partition before the exchange),
+    map-side partial aggregation (min of (id,pos) packed into one
+    int64, so the combine is a primitive-buffer HashAggregate — a
+    viral segment reduces to one row per map partition before the
+    exchange; a struct min would silently fall back to SortAggregate
+    and sort every map partition's exploded rows),
     one hash join back on seg (1 row per firsts side — linear output
     even for viral segments, AQE skew-split eligible), and one
     groupBy(id) rebuild whose collect_list is bounded by document
@@ -1482,16 +1488,29 @@ def line_dedup(
 
         segs_expr = F.split(F.col(text_col), _re.escape(delim))
         join_delim = delim
+    # n_orig = segment count is known BEFORE the explode (array size),
+    # so it rides the exploded rows as a per-id constant instead of
+    # costing a third text scan + its own groupBy + join-back branch
     segs = docs.select(
-        F.col(id_col).alias("id"), F.posexplode(segs_expr).alias("pos", "seg")
+        F.col(id_col).alias("id"),
+        F.size(segs_expr).cast("long").alias("n_orig"),
+        F.posexplode(segs_expr).alias("pos", "seg"),
     )
-    firsts = segs.groupBy("seg").agg(F.min(F.struct("id", "pos")).alias("first"))
+    # (id, pos) packed into ONE int64 so min() gets a primitive agg
+    # buffer (HashAggregate): min(struct(id, pos)) is semantically
+    # identical but falls back to SortAggregate — measured sorting
+    # every map partition's exploded rows (the whole corpus, twice).
+    # Domain: 0 <= id < 2^41, pos < 2^22 (4.2M segments/doc) — the
+    # packing preserves (id, pos) lexicographic order within it.
+    segs = segs.withColumn(
+        "mkey", F.shiftleft(F.col("id"), _LD_POS_BITS) + F.col("pos")
+    )
+    firsts = segs.groupBy("seg").agg(F.min("mkey").alias("first_mkey"))
     kept = (
         segs.join(firsts, "seg")
-        .filter((F.col("first.id") == F.col("id")) & (F.col("first.pos") == F.col("pos")))
-        .select("id", "pos", "seg")
+        .filter(F.col("mkey") == F.col("first_mkey"))
+        .select("id", "pos", "seg", "n_orig")
     )
-    n_orig = segs.groupBy("id").agg(F.count(F.lit(1)).alias("n_orig"))
     return (
         kept.groupBy("id")
         .agg(
@@ -1503,8 +1522,8 @@ def line_dedup(
                 join_delim,
             ).alias(text_col),
             F.count(F.lit(1)).alias("n_kept"),
+            F.first("n_orig").alias("n_orig"),
         )
-        .join(n_orig, "id")
         .select(F.col("id").alias(id_col), text_col, "n_kept", "n_orig")
     )
 

@@ -3,11 +3,14 @@
 Composes the engine's corpus operators into the batch job a
 training-data pipeline actually runs over a raw document dump:
 
+0. optional C4-style duplicate-span removal (line_dedup — rewrites
+   text first so every downstream feature sees the final form),
 1. quality + language filter (pure Catalyst exprs fused into the
    scan projection — one pass, no shuffle),
 2. exact dedup (hash groupBy, min-id keeper),
 3. near-dup dedup (MinHash LSH pairs -> connected components ->
-   min-id survivor per near-dup family),
+   min-id survivor per near-dup family), then an optional per-domain
+   cap over the survivors (skew-safe salted top-k combiner),
 4. optional benchmark decontamination (broadcast n-gram set,
    :func:`~logmetrics_spark.functions.dedup.decontaminate`),
 5. PII masking (typed placeholder tokens, per-doc counts),
@@ -49,6 +52,15 @@ class CorpusPrepConfig:
     bucket_cap: int | None = 64
     decontam_ngram: int = 8
     decontam_min_hits: int = 1
+    # optional C4-style duplicate-span removal BEFORE everything else
+    # (all downstream features/dedup see the rewritten text): newline
+    # mode when line_dedup_delim is set, k-word mode when
+    # line_dedup_words is set (mutually exclusive; both None = off)
+    line_dedup_delim: str | None = None
+    line_dedup_words: int | None = None
+    # optional per-domain cap AFTER dedup (cap counts kept docs)
+    cap_per_source: int | None = None
+    source_col: str = "source"
     split_ratios: tuple[tuple[str, float], ...] = (
         ("train", 0.9),
         ("val", 0.05),
@@ -78,6 +90,20 @@ def prepare_corpus(
       manifest, packed independently PER SPLIT (a bin must never mix
       train and test docs).
     """
+    # (0) optional C4-style duplicate-span removal — rewrites text, so
+    # it runs FIRST: every downstream feature/fingerprint sees the
+    # final text. Docs whose every segment was seen earlier vanish.
+    if cfg.line_dedup_delim is not None or cfg.line_dedup_words is not None:
+        if cfg.line_dedup_delim is not None and cfg.line_dedup_words is not None:
+            raise ValueError("set line_dedup_delim OR line_dedup_words, not both")
+        rebuilt = D.line_dedup(
+            docs,
+            id_col,
+            text_col,
+            delim=cfg.line_dedup_delim or "\n",
+            words_per_segment=cfg.line_dedup_words,
+        ).select(id_col, text_col)
+        docs = docs.drop(text_col).join(rebuilt, id_col)
     # (1) quality + lang gate: one fused projection
     feat = T.with_lang_id(T.with_quality_features(docs, text_col), text_col)
     kept = feat.filter(
@@ -92,6 +118,10 @@ def prepare_corpus(
         kept, cfg.neardup_threshold, id_col, text_col, bucket_cap=cfg.bucket_cap
     )
     kept = D.dedup_near_keep(kept, pairs, id_col)
+    # (3b) optional per-domain cap over the dedup survivors (skew-safe
+    # salted top-k combiner — see sampling.cap_per_group)
+    if cfg.cap_per_source is not None:
+        kept = S.cap_per_group(kept, cfg.source_col, cfg.cap_per_source, id_col)
     # (4) benchmark decontamination (optional)
     if benchmark is not None:
         kept = D.decontaminate(

@@ -803,3 +803,49 @@ def test_cap_per_group_exact_and_small_groups(spark):
             for i in sorted(i2 for i2, g2 in rows if g2 == g)[:5]
         )
         assert out == expect, salts
+
+
+def test_prepare_corpus_optional_stages(spark):
+    """line_dedup stage rewrites text before features (the shared
+    boilerplate span survives only in the first doc); cap_per_source
+    keeps the N smallest ids per source after dedup."""
+    from logmetrics_spark.plans.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    boiler = "this boilerplate navigation banner repeats on every page"
+    uniq = {
+        1: "alpha analysis of spark shuffle behavior under skewed keys",
+        2: "beta notes about broadcast joins and partition pruning",
+        3: "gamma summary of adaptive query execution frameworks",
+        4: "delta review of columnar storage and predicate pushdown",
+    }
+    rows = [
+        (i, f"{boiler} {uniq[i]}", "srcA" if i < 3 else "srcB")
+        for i in sorted(uniq)
+    ]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    cfg = CorpusPrepConfig(
+        # the banner is exactly 8 words, so at k=8 it is segment 0 of
+        # every doc (k-word spans only dedup when frames align — the
+        # delimiter mode is the alignment-free path for real corpora)
+        min_tokens=3, neardup_threshold=0.9, line_dedup_words=8,
+        cap_per_source=1, pack_budget=64, pack_groups=2,
+    )
+    out = prepare_corpus(docs, None, cfg)
+    corpus = {r["doc_id"]: r for r in out["corpus"].collect()}
+    # cap=1 per source keeps min-id survivors 1 (srcA) and 3 (srcB)
+    assert sorted(corpus) == [1, 3]
+    # doc 1 keeps the boilerplate (first occurrence); doc 3 lost it
+    assert corpus[1]["text"] == f"{boiler} {uniq[1]}"
+    assert corpus[3]["text"] == uniq[3]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        prepare_corpus(
+            docs, None,
+            CorpusPrepConfig(line_dedup_delim="\n", line_dedup_words=3),
+        )
