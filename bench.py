@@ -67,6 +67,7 @@ HEADLINE = [
     "pack_sequences",
     "line_dedup",
     "domain_cap",
+    "text_unigram_lm",
 ]
 
 

@@ -2040,3 +2040,29 @@ def q_domain_cap(spark, sf_dir):
     from .functions.sampling import cap_per_group
 
     return cap_per_group(d, "source", 10).select("doc_id", "source")
+
+
+@q(
+    "text_unigram_lm",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ),
+    tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok2 GROUP BY tok),
+    tot AS (SELECT SUM(c) AS total FROM cnt)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(AVG(ln(c * 1.0 / total)), 6) AS lm_logprob6
+    FROM tok2 JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_lm(spark, sf_dir):
+    """CCNet-style unigram LM quality score: per-doc mean log p(token)
+    under the corpus's own unigram distribution — the corpus-level
+    quality axis per-doc features can't see (boilerplate scores high,
+    rare-garble low). One vocab groupBy (map-side combine absorbs
+    stopword skew), lazy 1-row total broadcast, linear join back.
+    Graft op; engine: text.unigram_lm_scores."""
+    d = _t(spark, sf_dir, "documents")
+    return T.unigram_lm_scores(d)

@@ -300,3 +300,45 @@ def corpus_clean(
         & (F.col("punct_ratio") <= max_punct_ratio)
     )
     return dedup_keep(kept, id_col, text_col).select(id_col, "n_tokens")
+
+
+def unigram_lm_scores(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality signal: per-document mean
+    log-probability of its tokens under the CORPUS'S OWN unigram
+    distribution. Boilerplate/template text scores high (its tokens
+    dominate the corpus), rare-garble scores low — the corpus-level
+    quality axis per-doc features (text_quality, text_repetition)
+    cannot see, and the cheap stand-in for the external KenLM pass the
+    CCNet pipeline runs. Returns (id, n_tokens, lm_logprob6).
+
+    Scale shape: one explode projection, ONE groupBy(tok) count (the
+    vocabulary — Zipf-small next to the corpus; map-side combine
+    absorbs hot tokens like "the"), a 1-row total broadcast (lazy — no
+    driver collect), one equi-join back on tok (1 count row per token:
+    linear output even for stopwords), one groupBy(id) whose state is
+    a running (sum, count). Logprob rounded to 6dp so float summation
+    order (Spark partial aggs vs the sequential oracle) cannot leak
+    into equality — sums of ~60 tokens carry ~1e-13 absolute error
+    against a 1e-6 grid."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total"))
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("total"))), 6).alias(
+                "lm_logprob6"
+            ),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "lm_logprob6")
+    )

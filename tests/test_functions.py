@@ -849,3 +849,26 @@ def test_prepare_corpus_optional_stages(spark):
             docs, None,
             CorpusPrepConfig(line_dedup_delim="\n", line_dedup_words=3),
         )
+
+
+def test_unigram_lm_scores_known_values(spark):
+    """Hand-computed corpus: 'a' appears 4x, 'b' 2x, 'c' 1x, 'd' 1x
+    (total 8). Scores replay the exact mean-log-p formula; the
+    boilerplate-heavy doc scores highest."""
+    import math
+
+    rows = [(1, "a a b"), (2, "a b c"), (3, "a d")]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["lm_logprob6"])
+        for r in T.unigram_lm_scores(docs).collect()
+    }
+    p = {"a": 4 / 8, "b": 2 / 8, "c": 1 / 8, "d": 1 / 8}
+    exp = {
+        1: (3, round((2 * math.log(p["a"]) + math.log(p["b"])) / 3, 6)),
+        2: (3, round((math.log(p["a"]) + math.log(p["b"]) + math.log(p["c"])) / 3, 6)),
+        3: (2, round((math.log(p["a"]) + math.log(p["d"])) / 2, 6)),
+    }
+    assert out == exp
+    # the common-token doc outranks the rare-token docs
+    assert out[1][1] > out[2][1] and out[1][1] > out[3][1]
