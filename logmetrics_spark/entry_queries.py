@@ -1994,15 +1994,22 @@ def q_pack_sequences(spark, sf_dir):
       FROM w, unnest(generate_series(0, CAST(ceil(len(toks)/3.0) AS INT) - 1)) t(i)
     ),
     kept AS (
-      SELECT doc_id, pos, seg FROM seg
+      SELECT doc_id, pos, seg, 1 AS is_content FROM seg WHERE seg <> ''
       QUALIFY ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1
+    ),
+    allkept AS (
+      SELECT * FROM kept
+      UNION ALL
+      SELECT doc_id, pos, seg, 0 AS is_content FROM seg WHERE seg = ''
     ),
     norig AS (SELECT doc_id, COUNT(*) AS n_orig FROM seg GROUP BY doc_id)
     SELECT k.doc_id,
            string_agg(k.seg, ' ' ORDER BY k.pos) AS text,
-           COUNT(*) AS n_kept, ANY_VALUE(n_orig) AS n_orig
-    FROM kept k JOIN norig USING (doc_id)
+           CAST(SUM(is_content) AS BIGINT) AS n_kept,
+           ANY_VALUE(n_orig) AS n_orig
+    FROM allkept k JOIN norig USING (doc_id)
     GROUP BY k.doc_id
+    HAVING SUM(is_content) > 0
     """,
 )
 def q_line_dedup(spark, sf_dir):

@@ -1458,6 +1458,13 @@ def line_dedup(
     single-line/no-newline corpora; also the registry mode since the
     synthetic docs are single-line).
 
+    Empty segments (blank lines, trailing newlines) are STRUCTURE, not
+    content: they are preserved in place for every document — never
+    deduplicated away (otherwise every doc but one would lose its
+    paragraph breaks) — and they don't keep a doc alive (``n_kept``
+    counts content segments only; a doc with no surviving content
+    drops, blank lines and all).
+
     Returns (id, text_rebuilt, n_kept, n_orig). Scale shape: one
     posexplode projection (narrow), ONE groupBy(seg) shuffle with full
     map-side partial aggregation (min of (id,pos) packed into one
@@ -1471,7 +1478,12 @@ def line_dedup(
     length. Nothing quadratic, nothing driver-side, no window over a
     skewed partition (the min-struct groupBy replaces the row_number
     window precisely because partial aggregation absorbs hot segments
-    where a window would sort them in one task)."""
+    where a window would sort them in one task).
+
+    Packing domain (cheap attribute check on the exploded rows,
+    raising on violation rather than silently corrupting
+    first-occurrence selection): 0 <= id < 2^41 and fewer than 2^22
+    segments per document."""
     if words_per_segment is not None:
         k = int(words_per_segment)
         if k < 1:
@@ -1492,7 +1504,7 @@ def line_dedup(
     # so it rides the exploded rows as a per-id constant instead of
     # costing a third text scan + its own groupBy + join-back branch
     segs = docs.select(
-        F.col(id_col).alias("id"),
+        F.col(id_col).cast("long").alias("id"),
         F.size(segs_expr).cast("long").alias("n_orig"),
         F.posexplode(segs_expr).alias("pos", "seg"),
     )
@@ -1500,17 +1512,57 @@ def line_dedup(
     # buffer (HashAggregate): min(struct(id, pos)) is semantically
     # identical but falls back to SortAggregate — measured sorting
     # every map partition's exploded rows (the whole corpus, twice).
-    # Domain: 0 <= id < 2^41, pos < 2^22 (4.2M segments/doc) — the
-    # packing preserves (id, pos) lexicographic order within it.
+    # The packing preserves (id, pos) lexicographic order within it.
+    # Domain guard on the POST-explode attributes only (id, pos are
+    # plain columns — an oversize doc necessarily emits an
+    # out-of-range pos, so this is equivalent to checking the segment
+    # count, and it must NOT reference the heavy segmentation
+    # expression: a pre-explode when() on size(segs_expr) defeats
+    # subexpression elimination and re-evaluates the whole split/
+    # transform per row — measured 10x on the 100k probe).
+    ok = (
+        (F.col("id") >= 0)
+        & (F.col("id") < F.lit(1 << (63 - _LD_POS_BITS)))
+        & (F.col("pos") < F.lit(1 << _LD_POS_BITS))
+    )
     segs = segs.withColumn(
-        "mkey", F.shiftleft(F.col("id"), _LD_POS_BITS) + F.col("pos")
+        "mkey",
+        F.when(ok, F.shiftleft(F.col("id"), _LD_POS_BITS) + F.col("pos")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "line_dedup packing domain violated (need 0 <= id < "
+                        f"2^{63 - _LD_POS_BITS} and < {1 << _LD_POS_BITS} "
+                        "segments/doc): id="
+                    ),
+                    F.col("id").cast("string"),
+                    F.lit(", pos="),
+                    F.col("pos").cast("string"),
+                )
+            )
+        ),
     )
-    firsts = segs.groupBy("seg").agg(F.min("mkey").alias("first_mkey"))
-    kept = (
-        segs.join(firsts, "seg")
+    content = segs.filter(F.col("seg") != "")
+    firsts = content.groupBy("seg").agg(F.min("mkey").alias("first_mkey"))
+    kept_content = (
+        content.join(firsts, "seg")
         .filter(F.col("mkey") == F.col("first_mkey"))
-        .select("id", "pos", "seg", "n_orig")
+        .select("id", "pos", "seg", "n_orig", F.lit(1).alias("is_content"))
     )
+    if words_per_segment is None:
+        # delim mode only: blank segments (blank lines) are structure —
+        # always kept in place, never able to keep an otherwise-empty
+        # doc alive. This branch re-evaluates the explode (segs has no
+        # materialization), so it is skipped in k-word mode, where a
+        # blank segment can only come from an empty/whitespace-only
+        # document — which drops regardless via the n_kept filter.
+        kept = kept_content.unionByName(
+            segs.filter(F.col("seg") == "").select(
+                "id", "pos", "seg", "n_orig", F.lit(0).alias("is_content")
+            )
+        )
+    else:
+        kept = kept_content
     return (
         kept.groupBy("id")
         .agg(
@@ -1521,9 +1573,10 @@ def line_dedup(
                 ),
                 join_delim,
             ).alias(text_col),
-            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("is_content").cast("long").alias("n_kept"),
             F.first("n_orig").alias("n_orig"),
         )
+        .filter(F.col("n_kept") > 0)
         .select(F.col("id").alias(id_col), text_col, "n_kept", "n_orig")
     )
 

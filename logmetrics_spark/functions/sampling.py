@@ -173,5 +173,16 @@ def cap_per_group(
     p2 = p1.groupBy(group_col).agg(
         F.slice(F.array_sort(F.flatten(F.collect_list("_ids"))), 1, cap).alias("_ids")
     )
-    winners = p2.select(group_col, F.explode("_ids").alias(id_col))
-    return docs.join(winners, [group_col, id_col], "left_semi")
+    winners = p2.select(
+        F.col(group_col).alias("_w_grp"), F.explode("_ids").alias("_w_id")
+    )
+    # null group keys form their own capped group (groupBy already
+    # treats them as one): the join must be null-SAFE on the group
+    # column or every null-group row silently vanishes (null == null
+    # is null under standard equality)
+    return docs.join(
+        winners,
+        F.col(group_col).eqNullSafe(F.col("_w_grp"))
+        & (F.col(id_col) == F.col("_w_id")),
+        "left_semi",
+    )

@@ -80,7 +80,11 @@ def prepare_corpus(
     """Build the full prep plan lazily; returns the output tables.
 
     ``docs`` columns are preserved through every stage (filters and
-    left-antis only drop rows), plus the added feature/split columns.
+    left-antis only drop rows), plus the added feature/split columns —
+    EXCEPT when the optional line-dedup stage is enabled: it REWRITES
+    ``text_col`` (documents are reassembled from surviving segments)
+    and drops fully-deduplicated docs via an inner join, so downstream
+    features and the output corpus see the rewritten text.
     Returns ``{"corpus": ..., "packs": ...}``:
 
     - ``corpus``: surviving docs with quality features, lang_pred,
@@ -96,11 +100,15 @@ def prepare_corpus(
     if cfg.line_dedup_delim is not None or cfg.line_dedup_words is not None:
         if cfg.line_dedup_delim is not None and cfg.line_dedup_words is not None:
             raise ValueError("set line_dedup_delim OR line_dedup_words, not both")
+        if cfg.line_dedup_delim == "":
+            # an empty delimiter (mis-expanded shell var) must not
+            # silently coerce to newline mode
+            raise ValueError("line_dedup_delim must be a non-empty string")
         rebuilt = D.line_dedup(
             docs,
             id_col,
             text_col,
-            delim=cfg.line_dedup_delim or "\n",
+            delim=cfg.line_dedup_delim if cfg.line_dedup_delim is not None else "\n",
             words_per_segment=cfg.line_dedup_words,
         ).select(id_col, text_col)
         docs = docs.drop(text_col).join(rebuilt, id_col)

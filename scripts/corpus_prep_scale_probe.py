@@ -1,0 +1,152 @@
+"""Scale probe for the COMPOSED corpus-prep plan (r04): the full
+line-dedup -> quality/lang gate -> exact dedup -> MinHash-LSH near-dup
+-> per-domain cap -> decontamination -> PII mask -> split -> per-split
+packing pipeline, end to end, at 100k/300k/1M docs.
+
+The per-operator probes (DEDUP_SCALE, LINE_DEDUP_SCALE) pin each
+stage's scale shape in isolation; this one pins the COMPOSITION — that
+the stages' shuffles don't multiply (near-dup LSH remains the dominant
+cost), that nothing in the glue collects to the driver, and that
+wall-time stays ~linear in corpus size.
+
+Corpus: 60-token docs from a 5k vocabulary (same generator family as
+the other probes), every 7th doc an exact clone (exact-dedup load),
+every 11th a one-token mutation of its predecessor (near-dup load),
+30% of docs carrying a shared 3-token boilerplate prefix (line-dedup
+load), doc source = "src" || (doc_id % 1000) with domain 0 inflated
+10x (domain-cap load), plus a 5-doc benchmark set whose spans
+contaminate every 13th doc (decontamination load).
+
+Records per n: wall time, docs in/out, packs rows, and the per-stage
+survivor counts implied by the final corpus. ->
+BENCH/CORPUS_PREP_SCALE_r04.json (one JSON line per n).
+
+Usage: python scripts/corpus_prep_scale_probe.py [sizes...]
+       (default 100000 300000 1000000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from logmetrics_spark.functions import dedup as D
+from logmetrics_spark.plans.corpus_prep import CorpusPrepConfig, prepare_corpus
+from logmetrics_spark.session import get_spark
+
+N_TOKENS = 60
+VOCAB = 5000
+BOILER = "wboiler1 wboiler2 wboiler3"
+BENCH_SPAN = "wb1 wb2 wb3 wb4 wb5 wb6 wb7 wb8"  # 8 tokens = decontam n-gram
+
+
+def gen_docs(spark, n: int):
+    base = spark.range(n, numPartitions=64).select(
+        F.col("id").alias("doc_id"),
+        F.when((F.col("id") % 7 == 0) & (F.col("id") > 0), F.col("id") - 1)
+        .when((F.col("id") % 11 == 0) & (F.col("id") > 0), F.col("id") - 1)
+        .otherwise(F.col("id"))
+        .alias("seed"),
+        # near-dup: %11 docs mutate ONE token of the predecessor's text
+        ((F.col("id") % 11 == 0) & (F.col("id") > 0)).alias("mutate"),
+    )
+    toks = [
+        F.concat(
+            F.lit("w"),
+            (D.md5_52(F.concat_ws(":", F.col("seed"), F.lit(str(j)))) % VOCAB).cast(
+                "string"
+            ),
+        )
+        for j in range(N_TOKENS)
+    ]
+    # mutation: token 30 becomes a doc-unique token
+    toks[30] = (
+        F.when(F.col("mutate"), F.concat(F.lit("u"), F.col("doc_id").cast("string")))
+        .otherwise(toks[30])
+    )
+    text = F.concat_ws(" ", *toks)
+    hot = F.col("doc_id") % 10 < 3
+    text = F.when(hot, F.concat_ws(" ", F.lit(BOILER), text)).otherwise(text)
+    contaminated = F.col("doc_id") % 13 == 0
+    text = F.when(
+        contaminated, F.concat_ws(" ", text, F.lit(BENCH_SPAN))
+    ).otherwise(text)
+    # domain skew: 10% of docs pile into source src0
+    src = F.when(
+        F.col("doc_id") % 10 == 0, F.lit("src0")
+    ).otherwise(F.concat(F.lit("src"), (F.col("doc_id") % 1000).cast("string")))
+    return base.select("doc_id", text.alias("text"), src.alias("source"))
+
+
+def main() -> None:
+    sizes = [int(s) for s in sys.argv[1:]] or [100_000, 300_000, 1_000_000]
+    mode = "a" if os.environ.get("PROBE_APPEND") == "1" else "w"
+    os.makedirs("BENCH", exist_ok=True)
+    out_fh = open("BENCH/CORPUS_PREP_SCALE_r04.json", mode)
+    spark = get_spark(
+        "corpus_prep_scale",
+        master="local[16]",
+        shuffle_partitions=64,
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.ui.enabled": "false",
+        },
+    )
+    try:
+        import pandas as pd
+
+        bench = spark.createDataFrame(
+            pd.DataFrame([(900, BENCH_SPAN)], columns=["doc_id", "text"])
+        )
+        cfg = CorpusPrepConfig(
+            lang="und",  # synthetic vocab carries no language markers
+            min_tokens=5,
+            neardup_threshold=0.4,
+            bucket_cap=64,
+            decontam_ngram=8,
+            line_dedup_words=3,
+            cap_per_source=200,
+            pack_budget=2048,
+            pack_groups=64,
+        )
+        for n in sizes:
+            docs = gen_docs(spark, n).persist()
+            n_in = docs.count()
+            out = prepare_corpus(docs, bench, cfg)
+            # packs is the deepest output — one action runs the whole
+            # composed DAG (corpus is its lineage prefix); corpus is
+            # then counted separately so both numbers are recorded
+            t0 = time.time()
+            packs = out["packs"].count()
+            sec = round(time.time() - t0, 2)
+            t1 = time.time()
+            n_out = out["corpus"].count()
+            sec_corpus = round(time.time() - t1, 2)
+            rec = {
+                "probe": "corpus_prep_e2e",
+                "n": n,
+                "docs_in": n_in,
+                "docs_out": n_out,
+                "pack_rows": packs,
+                "sec": sec,
+                "sec_corpus_only": sec_corpus,
+                "docs_per_sec": round(n_in / sec, 1),
+            }
+            line = json.dumps(rec)
+            print(line, flush=True)
+            out_fh.write(line + "\n")
+            out_fh.flush()
+            docs.unpersist()
+    finally:
+        spark.stop()
+        out_fh.close()
+
+
+if __name__ == "__main__":
+    main()

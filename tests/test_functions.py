@@ -872,3 +872,64 @@ def test_unigram_lm_scores_known_values(spark):
     assert out == exp
     # the common-token doc outranks the rare-token docs
     assert out[1][1] > out[2][1] and out[1][1] > out[3][1]
+
+
+def test_line_dedup_blank_lines_are_structure(spark):
+    """Blank lines are never deduplicated away (every doc keeps its
+    paragraph breaks) but cannot keep an otherwise-empty doc alive."""
+    rows = [
+        (1, "para one\n\npara two"),
+        (2, "other one\n\nother two"),   # keeps ITS blank line
+        (3, "para one\n\npara two"),      # full dup -> drops entirely
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {
+        r["doc_id"]: (r["text"], r["n_kept"], r["n_orig"])
+        for r in D.line_dedup(docs).collect()
+    }
+    assert out == {
+        1: ("para one\n\npara two", 2, 3),
+        2: ("other one\n\nother two", 2, 3),
+    }
+
+
+def test_line_dedup_domain_guard_raises(spark):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([(-1, "some words here")], columns=["doc_id", "text"])
+    )
+    with pytest.raises(SparkRuntimeException, match="packing domain"):
+        D.line_dedup(docs, words_per_segment=3).collect()
+    big = spark.createDataFrame(
+        pd.DataFrame([(1 << 50, "some words here")], columns=["doc_id", "text"])
+    )
+    with pytest.raises(SparkRuntimeException, match="packing domain"):
+        D.line_dedup(big, words_per_segment=3).collect()
+
+
+def test_cap_per_group_null_group_capped_not_dropped(spark):
+    from logmetrics_spark.functions.sampling import cap_per_group
+
+    rows = [(1, None), (2, None), (3, None), (4, "a")]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "grp"]).astype({"grp": "object"})
+    )
+    out = sorted(
+        (r["grp"] or "", r["doc_id"])
+        for r in cap_per_group(docs, "grp", 2).collect()
+    )
+    assert out == [("", 1), ("", 2), ("a", 4)]
+
+
+def test_corpus_prep_empty_delim_raises(spark):
+    from logmetrics_spark.plans.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame([(1, "x y z")], columns=["doc_id", "text"])
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        prepare_corpus(docs, None, CorpusPrepConfig(line_dedup_delim=""))
