@@ -1488,25 +1488,40 @@ def line_dedup(
         k = int(words_per_segment)
         if k < 1:
             raise ValueError(f"words_per_segment={k} must be >= 1")
-        w = F.split(F.trim(F.col(text_col)), r"\s+")
+        # the token array must be a MATERIALIZED column before the
+        # segment lambda (the shingles() lesson): an inline split
+        # referenced inside a higher-order function re-evaluates the
+        # whole trim+split per element access
+        word_base = docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
+        )
+        w = F.col("_w")
         nseg = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
         segs_expr = F.transform(
             F.sequence(F.lit(0), nseg - 1),
             lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
         )
+        seg_base = word_base.select("id", segs_expr.alias("_segs"))
         join_delim = " "
     else:
         import re as _re
 
-        segs_expr = F.split(F.col(text_col), _re.escape(delim))
+        seg_base = docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.split(F.col(text_col), _re.escape(delim)).alias("_segs"),
+        )
         join_delim = delim
-    # n_orig = segment count is known BEFORE the explode (array size),
-    # so it rides the exploded rows as a per-id constant instead of
-    # costing a third text scan + its own groupBy + join-back branch
-    segs = docs.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.size(segs_expr).cast("long").alias("n_orig"),
-        F.posexplode(segs_expr).alias("pos", "seg"),
+    # n_orig = segment count is known BEFORE the explode (array size
+    # of the materialized _segs column — NOT a second evaluation of
+    # the segmentation expression, which costs a full re-split per
+    # doc: measured 3.5x on the sf0.1 noop-write bench), so it rides
+    # the exploded rows as a per-id constant instead of costing a
+    # third text scan + its own groupBy + join-back branch
+    segs = seg_base.select(
+        "id",
+        F.size("_segs").cast("long").alias("n_orig"),
+        F.posexplode("_segs").alias("pos", "seg"),
     )
     # (id, pos) packed into ONE int64 so min() gets a primitive agg
     # buffer (HashAggregate): min(struct(id, pos)) is semantically
