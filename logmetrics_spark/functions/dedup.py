@@ -1557,27 +1557,48 @@ def line_dedup(
             )
         ),
     )
-    content = segs.filter(F.col("seg") != "")
-    firsts = content.groupBy("seg").agg(F.min("mkey").alias("first_mkey"))
-    kept_content = (
-        content.join(firsts, "seg")
-        .filter(F.col("mkey") == F.col("first_mkey"))
-        .select("id", "pos", "seg", "n_orig", F.lit(1).alias("is_content"))
+    firsts = (
+        segs.filter(F.col("seg") != "")
+        .groupBy("seg")
+        .agg(F.min("mkey").alias("first_mkey"))
     )
-    if words_per_segment is None:
-        # delim mode only: blank segments (blank lines) are structure —
-        # always kept in place, never able to keep an otherwise-empty
-        # doc alive. This branch re-evaluates the explode (segs has no
-        # materialization), so it is skipped in k-word mode, where a
-        # blank segment can only come from an empty/whitespace-only
-        # document — which drops regardless via the n_kept filter.
-        kept = kept_content.unionByName(
-            segs.filter(F.col("seg") == "").select(
-                "id", "pos", "seg", "n_orig", F.lit(0).alias("is_content")
-            )
+    # Single-pass keep (both modes): left-join firsts onto ALL
+    # segments — content rows keep iff they ARE the first occurrence,
+    # blank rows (structure: blank lines, trailing newlines) are kept
+    # in place unconditionally. This replaces the r04 union leg that
+    # re-evaluated the split+posexplode subtree for the blank rows:
+    # the segmentation is now evaluated exactly twice (probe side +
+    # firsts partials), same as k-word mode, instead of three times.
+    # Blank rows carry a SALTED never-matching join key so the ""
+    # hot key (at corpus scale blank lines are a few percent of all
+    # segments) spreads over 64 shuffle partitions instead of
+    # concentrating in one; firsts holds content segments only, so
+    # the salted keys find no match and blanks come back with null
+    # first_mkey. Even a pathological corpus segment that collides
+    # with the salt literal cannot flip a decision: firsts is unique
+    # per seg (no row explosion) and the filter keeps blank rows
+    # unconditionally. In k-word mode a blank segment can only come
+    # from an empty/whitespace-only doc, which drops regardless via
+    # the n_kept > 0 filter — one code path serves both modes.
+    jkey = F.when(
+        F.col("seg") == "",
+        F.concat(
+            F.lit("\x00blank\x00"),
+            F.pmod(F.col("mkey"), F.lit(64)).cast("string"),
+        ),
+    ).otherwise(F.col("seg"))
+    kept = (
+        segs.withColumn("_jk", jkey)
+        .join(firsts.withColumnRenamed("seg", "_jk"), "_jk", "left")
+        .filter((F.col("seg") == "") | (F.col("mkey") == F.col("first_mkey")))
+        .select(
+            "id",
+            "pos",
+            "seg",
+            "n_orig",
+            (F.col("seg") != "").cast("int").alias("is_content"),
         )
-    else:
-        kept = kept_content
+    )
     return (
         kept.groupBy("id")
         .agg(

@@ -313,32 +313,44 @@ def unigram_lm_scores(
     cannot see, and the cheap stand-in for the external KenLM pass the
     CCNet pipeline runs. Returns (id, n_tokens, lm_logprob6).
 
-    Scale shape: one explode projection, ONE groupBy(tok) count (the
-    vocabulary — Zipf-small next to the corpus; map-side combine
-    absorbs hot tokens like "the"), a 1-row total broadcast (lazy — no
-    driver collect), one equi-join back on tok (1 count row per token:
-    linear output even for stopwords), one groupBy(id) whose state is
-    a running (sum, count). Logprob rounded to 6dp so float summation
-    order (Spark partial aggs vs the sequential oracle) cannot leak
-    into equality — sums of ~60 tokens carry ~1e-13 absolute error
-    against a 1e-6 grid."""
-    toks = (
+    Scale shape (skew-safe): the raw token stream is pre-reduced to
+    per-doc counts — groupBy(id, tok) — BEFORE anything joins on the
+    Zipf-skewed token key. The (id, tok) shuffle key is NOT skewed (id
+    spreads every stopword across the cluster), and everything
+    downstream of it is bounded by DISTINCT (doc, token) pairs, not
+    token occurrences: the vocabulary count is a groupBy(tok) SUM of
+    the per-doc partials (map-side combine absorbs "the"), and the
+    join back on tok carries one row per (doc, token) — the hot key's
+    row count is bounded by the number of docs containing it, smaller
+    than the occurrence stream by the in-doc repetition factor. The
+    identical doc_tok shuffle feeds both join sides, so ReuseExchange
+    scans the corpus once. A 1-row total broadcast (lazy — no driver
+    collect) closes the plan; the per-doc logprob is the exact
+    occurrence-weighted mean sum(c_doc·log p)/sum(c_doc). Rounded to
+    6dp so float summation order (Spark partial aggs vs the
+    sequential oracle) cannot leak into equality — weighted sums of
+    ~60 tokens carry ~1e-13 absolute error against a 1e-6 grid."""
+    doc_tok = (
         docs.select(
             F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
         )
         .filter(F.col("tok") != "")
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    counts = doc_tok.groupBy("tok").agg(F.sum("c_doc").alias("c"))
     total = counts.agg(F.sum("c").alias("total"))
     return (
-        toks.join(counts, "tok")
+        doc_tok.join(counts, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("c") / F.col("total"))), 6).alias(
-                "lm_logprob6"
-            ),
+            F.sum("c_doc").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c_doc") * F.log(F.col("c") / F.col("total")))
+                / F.sum("c_doc"),
+                6,
+            ).alias("lm_logprob6"),
         )
         .select(F.col("id").alias(id_col), "n_tokens", "lm_logprob6")
     )

@@ -19,12 +19,7 @@ per log group, shuffling O(keys x windows) partial rows.
 from __future__ import annotations
 
 import re
-import warnings
 from typing import Iterator
-
-# str.contains is used purely as a match predicate; the patterns
-# legitimately carry groups (shared with the extract-based templates)
-warnings.filterwarnings("ignore", message="This pattern is interpreted as a regular expression")
 
 import numpy as np
 import pandas as pd
@@ -99,29 +94,72 @@ def _expand_template(template: str, source: pd.Series, pattern: str) -> pd.Serie
     return result
 
 
+_BACKREF_RE = re.compile(r"\\[1-9]|\(\?P=")
+
+
+def _decapture(pat: str) -> str:
+    """Rewrite capturing groups as non-capturing for pure match-
+    predicate use (str.contains warns on capture groups, and the
+    groups are only needed by the extract-based @@n@@ templates, which
+    keep the ORIGINAL pattern). Escapes and character classes are
+    respected; patterns with backreferences are returned unchanged
+    (removing their groups would change semantics — the pandas
+    warning is accurate for those, but none of the reference configs
+    use them)."""
+    if _BACKREF_RE.search(pat):
+        return pat
+    out: list[str] = []
+    i, n, in_class = 0, len(pat), False
+    while i < n:
+        c = pat[i]
+        if c == "\\" and i + 1 < n:
+            out.append(pat[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(" and (i + 1 >= n or pat[i + 1] != "?"):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _apply_transform_series(tdef: TransformDef, s: pd.Series, apply_all: bool) -> pd.Series:
-    ops = [(op.kind, clean_verbose_regex(op.pattern), op.arg) for op in tdef.operations]
+    # (kind, pattern-for-extract, match-predicate pattern, arg):
+    # contains() only tests for a match, so it gets the decaptured
+    # pattern; the @@n@@ template expansion keeps the original groups
+    ops = [
+        (op.kind, p, _decapture(p), op.arg)
+        for op in tdef.operations
+        for p in (clean_verbose_regex(op.pattern),)
+    ]
     only_one = tdef.replace_only_one and not apply_all
     if only_one:
         # config-order fold with a per-row latch over the RUNNING
         # value (mirrors transform_expr / oracle._apply_transform)
         done = pd.Series(False, index=s.index)
-        for kind, pat, arg in ops:
+        for kind, pat, mpat, arg in ops:
             if kind == "replace":
-                hit = s.str.contains(pat, regex=True) & ~done
+                hit = s.str.contains(mpat, regex=True) & ~done
                 if hit.any():
                     s = s.mask(hit, _expand_template(arg, s, pat))
                     done = done | hit
             else:
-                s = s.where(s.str.contains(pat, regex=True), arg)
+                s = s.where(s.str.contains(mpat, regex=True), arg)
         return s
-    for kind, pat, arg in ops:
+    for kind, pat, mpat, arg in ops:
         if kind == "replace":
-            hit = s.str.contains(pat, regex=True)
+            hit = s.str.contains(mpat, regex=True)
             if hit.any():
                 s = s.mask(hit, _expand_template(arg, s, pat))
         else:
-            s = s.where(s.str.contains(pat, regex=True), arg)
+            s = s.where(s.str.contains(mpat, regex=True), arg)
     return s
 
 

@@ -88,8 +88,10 @@ def prepare_corpus(
     Returns ``{"corpus": ..., "packs": ...}``:
 
     - ``corpus``: surviving docs with quality features, lang_pred,
-      masked_text, PII counts, and ``split`` — the table written
-      partitioned by split;
+      PII counts, and ``split`` — the table written partitioned by
+      split. ``text_col`` holds the PII-MASKED text (the raw
+      unmasked string is dropped at the masking stage — it must not
+      reach the written corpus or the packing manifest);
     - ``packs``: (id, grp, bin_id, n_tokens, split) sequence-packing
       manifest, packed independently PER SPLIT (a bin must never mix
       train and test docs).
@@ -140,8 +142,17 @@ def prepare_corpus(
             n=cfg.decontam_ngram,
             min_hits=cfg.decontam_min_hits,
         )
-    # (5) PII mask + (6) split: pure projections
-    kept = T.with_pii_masked(kept, text_col)
+    # (5) PII mask + (6) split: pure projections. The masked text
+    # REPLACES text_col — the raw unmasked string must not survive
+    # into the split/pack stages or the written corpus (a "prepared"
+    # corpus that still carries every email/phone/IP in a sibling
+    # column has not been scrubbed). Per-pattern counts remain as
+    # detection telemetry.
+    kept = (
+        T.with_pii_masked(kept, text_col)
+        .withColumn(text_col, F.col("masked_text"))
+        .drop("masked_text")
+    )
     corpus = S.with_split(kept, dict(cfg.split_ratios), id_col)
     # (7) pack per split — bins must not straddle splits, so split is
     # an extra packing-shard key: ONE applyInPandas pass over all

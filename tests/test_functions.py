@@ -722,9 +722,11 @@ def test_prepare_corpus_end_to_end(spark):
     corpus = out["corpus"].collect()
     kept = sorted(r["doc_id"] for r in corpus)
     assert kept == [1, 7], kept
-    # split column present and valid; PII mask columns rode through
+    # split column present and valid; PII count telemetry rode
+    # through, and text IS the masked form (no raw sibling column)
     assert {r["split"] for r in corpus} <= {"train", "val", "test"}
-    assert all("masked_text" in r.asDict() for r in corpus)
+    assert all("n_emails" in r.asDict() for r in corpus)
+    assert all("masked_text" not in r.asDict() for r in corpus)
     packs = out["packs"].collect()
     # every surviving doc packed exactly once, in its own split's bins
     assert sorted(r["doc_id"] for r in packs) == kept
@@ -733,6 +735,40 @@ def test_prepare_corpus_end_to_end(spark):
     for did, r in by_id.items():
         assert r["split"] == splits[did]
         assert r["n_tokens"] > 0
+
+
+def test_prepare_corpus_output_text_is_masked(spark):
+    """The prepared corpus's text column must be the PII-MASKED form:
+    no email/phone/IP literal survives into the output table or the
+    packing token counts (the r04 advice finding — a masked_text
+    sibling next to raw text is not scrubbing)."""
+    from logmetrics_spark.plans.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    rows = [
+        (
+            1,
+            "please contact alice@example.com about the seventeen "
+            "orbital telescope findings before dawn tomorrow",
+        ),
+        (
+            2,
+            "the backup host sits at 10.1.2.3 and answers every "
+            "telescope calibration request within seconds",
+        ),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = prepare_corpus(docs, None, CorpusPrepConfig(pack_budget=32, pack_groups=2))
+    corpus = {r["doc_id"]: r for r in out["corpus"].collect()}
+    assert set(corpus) == {1, 2}
+    assert "alice@example.com" not in corpus[1]["text"]
+    assert "<EMAIL>" in corpus[1]["text"]
+    assert corpus[1]["n_emails"] == 1
+    assert "10.1.2.3" not in corpus[2]["text"]
+    assert "<IP>" in corpus[2]["text"]
+    assert "masked_text" not in corpus[1].asDict()
 
 
 def test_line_dedup_newline_mode(spark):
