@@ -59,6 +59,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_simhash",
     "embed_neardup_lsh",
+    "embed_incremental",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "sessionize",

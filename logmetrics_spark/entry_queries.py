@@ -1943,9 +1943,12 @@ def q_decontaminate(spark, sf_dir):
 def _pack_sql(budget: int = 64, n_groups: int = 8) -> str:
     return f"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, doc_id % {n_groups} AS grp, {_TOKC_SQL} AS n_tokens,
-             ROW_NUMBER() OVER (PARTITION BY doc_id % {n_groups}
-                                ORDER BY doc_id) AS rn
+      SELECT doc_id,
+             ((doc_id % {n_groups}) + {n_groups}) % {n_groups} AS grp,
+             {_TOKC_SQL} AS n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY ((doc_id % {n_groups}) + {n_groups}) % {n_groups}
+               ORDER BY doc_id) AS rn
       FROM documents
     ),
     packed AS (
@@ -2038,10 +2041,11 @@ def q_line_dedup(spark, sf_dir):
 def q_domain_cap(spark, sf_dir):
     """Per-domain document cap (keep the 10 smallest ids per source)
     — no single host may dominate the corpus. Deterministic winners,
-    and skew-safe BY CONSTRUCTION: an exact salted two-phase top-k
-    combiner (top-k of union == top-k of union of per-salt top-k)
-    instead of a row_number window, so the hot domain — the reason
-    the op exists — never sorts in a single task. Graft op; engine:
+    and skew-safe BY CONSTRUCTION: a bounded-state quantile sketch
+    picks a per-group threshold that provably covers the cap smallest
+    ids, then the exact top-k is taken from that small residual —
+    no row_number window (the hot domain would sort in one task) and
+    no buffer-the-shard collect_list. Graft op; engine:
     sampling.cap_per_group."""
     d = _t(spark, sf_dir, "documents")
     from .functions.sampling import cap_per_group

@@ -94,7 +94,7 @@ def pack_sequences(
 
     Exact greedy packing is inherently sequential (each bin decision
     depends on the running fill), so the corpus is first sharded
-    deterministically — grp = id % n_groups — and packed greedily in
+    deterministically — grp = pmod(id, n_groups) — and packed greedily in
     id order WITHIN each group: a doc joins the current bin while
     fill + n_tokens <= budget, else opens a new bin (an over-budget
     doc gets a bin of its own; downstream truncation is the trainer's
@@ -116,10 +116,15 @@ def pack_sequences(
     from .text import token_count
 
     extra = list(extra_group_cols or [])
+    # pmod, not %: Spark's % is sign-preserving, so a negative id
+    # would land in a NEGATIVE group — outside the documented
+    # [0, n_groups) shard domain and diverging from the oracle's
+    # non-negative fold (line_dedup guards its packing domain the
+    # same way; here pmod is total, so no guard is needed)
     toks = docs.select(
         F.col(id_col),
         *[F.col(c) for c in extra],
-        (F.col(id_col) % F.lit(n_groups)).alias("grp"),
+        F.pmod(F.col(id_col), F.lit(n_groups)).alias("grp"),
         token_count(F.col(text_col)).alias("n_tokens"),
     )
     out_cols = [id_col, *extra, "grp", "bin_id", "n_tokens"]
@@ -153,7 +158,8 @@ def cap_per_group(
     group_col: str,
     cap: int,
     id_col: str = "doc_id",
-    n_salts: int = 64,
+    quantile_grid: int = 1024,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per group — the per-domain cap a
     webtext pipeline applies so no single host dominates the corpus
@@ -164,32 +170,70 @@ def cap_per_group(
 
     Skew is the whole problem here (the hot domain IS the reason the
     op exists), so no row_number window — a window sorts each group in
-    ONE task and the hot domain becomes a straggler. Instead an exact
-    two-phase combiner (top-k of a union == top-k of the union of
-    per-part top-k, the same algebra as the reservoir combiner in
-    operators/aggregate.py): phase 1 groups by (group, salt) — salt =
-    id hash mod ``n_salts`` — and keeps each salt-shard's ``cap``
-    smallest ids; phase 2 merges the <= n_salts * cap survivors per
-    group. The hot group's phase-1 state is 1/n_salts of its rows per
-    shard (size n_salts ~ cluster parallelism), phase 2 is bounded by
-    n_salts * cap rows per group regardless of corpus size. The final
-    left-semi join is an equi-join on (group, id) — broadcast-able
-    when groups * cap is small. Returns ``docs`` filtered, columns
-    untouched."""
+    ONE task and the hot domain becomes a straggler. And no buffer-all
+    combiner either: an exact-but-collect_list phase (the r04 shape)
+    holds O(group_rows / n_shards) ids in each aggregation buffer —
+    for a 10^8-page domain that is millions of ids per buffer, not the
+    bounded state the op promises. Instead, sketch-then-exact:
+
+    1. ONE groupBy(group) computes count, max, and a bounded-memory
+       quantile sketch of the ids (``percentile_approx`` at a
+       ``quantile_grid``-point literal grid — the percentage argument
+       must be foldable, so the grid stands in for the per-group rank
+       fraction cap/N). Aggregation state is the sketch, O(accuracy),
+       REGARDLESS of group size, and the shuffle carries sketches,
+       not ids.
+    2. From the sketch, a per-group threshold at the smallest grid
+       point whose guaranteed rank covers cap: grid index
+       ceil((cap/N + 1/accuracy) * grid). The sketch's rank error is
+       at most N/accuracy, so every true winner has id <= threshold
+       (no false negatives — the final result stays EXACT), and at
+       most cap + N/grid + 2N/accuracy rows pass (the approximation
+       only ever costs residual size, never correctness).
+    3. The threshold (one row per group) joins back — broadcast-able,
+       AQE's call — and the exact cap-smallest are taken from the
+       small residual with a sort+slice whose state is bounded by the
+       step-2 cap + N/grid + 2N/accuracy envelope (defaults: N/853 —
+       a 10^8-page domain leaves ~120k residual ids, ~1 MB, vs the
+       1.5M/buffer the salted combiner held).
+
+    The final left-semi join is an equi-join on (group, id) —
+    broadcast-able when groups * cap is small. Returns ``docs``
+    filtered, columns untouched. Rows with a null id never win (the
+    sketch and the threshold comparison both ignore nulls), matching
+    the previous collect_list semantics."""
     if cap < 1:
         raise ValueError(f"cap={cap} must be >= 1")
-    salted = docs.select(
-        F.col(group_col), F.col(id_col),
-        F.pmod(F.hash(F.col(id_col)), F.lit(n_salts)).alias("_salt"),
+    grid = int(quantile_grid)
+    if grid < 2:
+        raise ValueError(f"quantile_grid={grid} must be >= 2")
+    ids = docs.select(F.col(group_col), F.col(id_col))
+    th_agg = ids.groupBy(group_col).agg(
+        F.count(id_col).alias("_n"),
+        F.max(id_col).alias("_max"),
+        F.percentile_approx(
+            id_col, [i / grid for i in range(grid + 1)], accuracy
+        ).alias("_qs"),
     )
-    p1 = salted.groupBy(group_col, "_salt").agg(
-        F.slice(F.array_sort(F.collect_list(id_col)), 1, cap).alias("_ids")
+    idx = F.ceil(
+        (F.lit(float(cap)) / F.greatest(F.col("_n"), F.lit(1)) + F.lit(1.0 / accuracy))
+        * grid
+    ).cast("int")
+    # at/above the top of the grid the sketch's q(1.0) is not trusted
+    # for exactness — use the exact max (keep-everything threshold)
+    th = th_agg.select(
+        F.col(group_col).alias("_t_grp"),
+        F.when(idx >= grid, F.col("_max"))
+        .otherwise(F.element_at("_qs", idx + 1))
+        .alias("_th"),
     )
-    p2 = p1.groupBy(group_col).agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("_ids"))), 1, cap).alias("_ids")
-    )
-    winners = p2.select(
-        F.col(group_col).alias("_w_grp"), F.explode("_ids").alias("_w_id")
+    residual = ids.join(
+        th, F.col(group_col).eqNullSafe(F.col("_t_grp"))
+    ).filter(F.col(id_col) <= F.col("_th"))
+    winners = (
+        residual.groupBy(group_col)
+        .agg(F.slice(F.array_sort(F.collect_list(id_col)), 1, cap).alias("_ids"))
+        .select(F.col(group_col).alias("_w_grp"), F.explode("_ids").alias("_w_id"))
     )
     # null group keys form their own capped group (groupBy already
     # treats them as one): the join must be null-SAFE on the group

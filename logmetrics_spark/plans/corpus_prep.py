@@ -10,7 +10,7 @@ training-data pipeline actually runs over a raw document dump:
 2. exact dedup (hash groupBy, min-id keeper),
 3. near-dup dedup (MinHash LSH pairs -> connected components ->
    min-id survivor per near-dup family), then an optional per-domain
-   cap over the survivors (skew-safe salted top-k combiner),
+   cap over the survivors (skew-safe sketch-then-exact top-k),
 4. optional benchmark decontamination (broadcast n-gram set,
    :func:`~logmetrics_spark.functions.dedup.decontaminate`),
 5. PII masking (typed placeholder tokens, per-doc counts),
@@ -129,7 +129,7 @@ def prepare_corpus(
     )
     kept = D.dedup_near_keep(kept, pairs, id_col)
     # (3b) optional per-domain cap over the dedup survivors (skew-safe
-    # salted top-k combiner — see sampling.cap_per_group)
+    # sketch-then-exact top-k — see sampling.cap_per_group)
     if cfg.cap_per_source is not None:
         kept = S.cap_per_group(kept, cfg.source_col, cfg.cap_per_source, id_col)
     # (4) benchmark decontamination (optional)

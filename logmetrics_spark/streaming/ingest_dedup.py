@@ -124,6 +124,18 @@ class IngestDedupSink:
         kept = kept.persist()  # feeds the doc write AND both index builds
         caches.append(kept)
         try:
+            # an all-duplicates batch keeps nothing: writing its three
+            # EMPTY partition dirs would poison every later read — an
+            # empty parquet dir has no footer to infer a schema from,
+            # so the next batch's index read raises
+            # UNABLE_TO_INFER_SCHEMA (NOT the path-missing condition
+            # _read_index maps to 'no corpus yet') and the stream
+            # wedges permanently, since the empty dirs persist across
+            # restarts. kept is already persisted, so the isEmpty
+            # probe is one cached-partition peek; skipping the writes
+            # is also replay-safe (the same batch recomputes empty).
+            if kept.isEmpty():
+                return
             # (3) append docs + index rows, idempotently per batch
             part = f"ingest_batch={batch_id}"
             kept.write.mode("overwrite").parquet(

@@ -681,6 +681,23 @@ def test_pack_sequences_greedy_and_overflow(spark):
     assert out2 == out
 
 
+def test_pack_sequences_negative_ids_pmod(spark):
+    """Negative ids shard via pmod into [0, n_groups) — Spark's
+    sign-preserving % would put them in a negative group, outside the
+    documented shard domain."""
+    from logmetrics_spark.functions.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [-9, -1, 0, 7], "text": ["a b"] * 4})
+    )
+    out = {
+        r["doc_id"]: r["grp"]
+        for r in pack_sequences(docs, budget=8, n_groups=8).collect()
+    }
+    assert out == {-9: 7, -1: 7, 0: 0, 7: 7}
+    assert all(0 <= g < 8 for g in out.values())
+
+
 def test_prepare_corpus_end_to_end(spark):
     """The composed corpus-prep plan: quality gate drops junk, exact +
     near-dup dedup keep min-id survivors, decontamination drops the
@@ -828,17 +845,19 @@ def test_cap_per_group_exact_and_small_groups(spark):
 
     rows = [(i, f"g{i % 3}") for i in range(50)] + [(100, "tiny")]
     docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "grp"]))
-    for salts in (1, 3, 64):
+    # coarse grids force the threshold path to keep a residual much
+    # larger than cap; the result must stay EXACT regardless
+    for grid in (2, 16, 1024):
         out = sorted(
             (r["grp"], r["doc_id"])
-            for r in cap_per_group(docs, "grp", 5, n_salts=salts).collect()
+            for r in cap_per_group(docs, "grp", 5, quantile_grid=grid).collect()
         )
         expect = sorted(
             (g, i)
             for g in ["g0", "g1", "g2", "tiny"]
             for i in sorted(i2 for i2, g2 in rows if g2 == g)[:5]
         )
-        assert out == expect, salts
+        assert out == expect, grid
 
 
 def test_prepare_corpus_optional_stages(spark):

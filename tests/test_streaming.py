@@ -592,3 +592,44 @@ def test_ingest_dedup_replayed_batch_is_idempotent(spark, tmp_path):
         spark._jsparkSession.sharedState().cacheManager().cachedData().size()
     )
     assert cached_after <= cached_before, (cached_before, cached_after)
+
+
+def test_ingest_dedup_all_duplicate_batch_does_not_wedge(spark, tmp_path):
+    """A micro-batch whose every doc duplicates the corpus keeps
+    NOTHING; the sink must not write its three empty partition dirs
+    (an empty parquet dir has no schema to infer, so the NEXT batch's
+    index read would raise UNABLE_TO_INFER_SCHEMA — not the
+    path-missing 'no corpus yet' condition — and permanently wedge
+    the stream). The stream must keep ingesting afterwards."""
+    import os
+
+    import pandas as pd
+
+    from logmetrics_spark.streaming.ingest_dedup import IngestDedupSink
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts calibrate the orbital telescope before dawn"
+    )
+    sink = IngestDedupSink(str(tmp_path / "corpus"), threshold=0.3)
+    b0 = spark.createDataFrame(
+        pd.DataFrame([(1, base)], columns=["doc_id", "text"])
+    )
+    sink(b0, 0)
+    # batch 1: a pure clone — everything drops against the corpus
+    b1 = spark.createDataFrame(
+        pd.DataFrame([(10, base + " again")], columns=["doc_id", "text"])
+    )
+    sink(b1, 1)
+    for d in (sink.kept_dir, sink.entries_dir, sink.shingles_dir):
+        assert not os.path.exists(os.path.join(d, "ingest_batch=1")), d
+    # batch 2 (fresh content) must still read the index and land
+    b2 = spark.createDataFrame(
+        pd.DataFrame(
+            [(20, "completely unrelated corpus content about spark plans")],
+            columns=["doc_id", "text"],
+        )
+    )
+    sink(b2, 2)
+    kept = sorted(r["doc_id"] for r in sink.kept_docs(spark).collect())
+    assert kept == [1, 20], kept
