@@ -56,6 +56,25 @@ def main() -> None:
         "(single-line corpora)",
     )
     ap.add_argument(
+        "--max-dup-word-frac", type=float, default=None,
+        help="Gopher repetition gate: drop docs whose duplicate-word "
+        "fraction exceeds this",
+    )
+    ap.add_argument(
+        "--max-top-bigram-frac", type=float, default=None,
+        help="Gopher repetition gate: drop docs whose most-frequent-"
+        "bigram fraction exceeds this",
+    )
+    ap.add_argument(
+        "--min-lm-logprob", type=float, default=None,
+        help="unigram-LM gate: drop docs whose mean token log-prob "
+        "under the post-gate corpus is below this (rare garble)",
+    )
+    ap.add_argument(
+        "--max-lm-logprob", type=float, default=None,
+        help="unigram-LM gate: drop docs above this (template text)",
+    )
+    ap.add_argument(
         "--cap-per-source", type=int, default=None,
         help="keep at most N docs per --source-col group after dedup",
     )
@@ -90,6 +109,10 @@ def main() -> None:
         decontam_ngram=args.decontam_ngram,
         line_dedup_delim=args.line_dedup_delim,
         line_dedup_words=args.line_dedup_words,
+        max_dup_word_frac=args.max_dup_word_frac,
+        max_top_bigram_frac=args.max_top_bigram_frac,
+        min_lm_logprob=args.min_lm_logprob,
+        max_lm_logprob=args.max_lm_logprob,
         cap_per_source=args.cap_per_source,
         source_col=args.source_col,
         pack_budget=args.pack_budget,

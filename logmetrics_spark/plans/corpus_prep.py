@@ -6,7 +6,13 @@ training-data pipeline actually runs over a raw document dump:
 0. optional C4-style duplicate-span removal (line_dedup — rewrites
    text first so every downstream feature sees the final form),
 1. quality + language filter (pure Catalyst exprs fused into the
-   scan projection — one pass, no shuffle),
+   scan projection — one pass, no shuffle), then two optional
+   quality axes (default off): Gopher-style repetition gates
+   (dup_word_frac narrow; top_bigram_frac adds one bounded
+   two-level groupBy) and the CCNet-style unigram-LM gate (mean
+   token log-prob under the post-gate survivors' own unigram
+   distribution — one skew-safe corpus aggregation + broadcast
+   join),
 2. exact dedup (hash groupBy, min-id keeper),
 3. near-dup dedup (MinHash LSH pairs -> connected components ->
    min-id survivor per near-dup family), then an optional per-domain
@@ -58,6 +64,17 @@ class CorpusPrepConfig:
     # line_dedup_words is set (mutually exclusive; both None = off)
     line_dedup_delim: str | None = None
     line_dedup_words: int | None = None
+    # optional Gopher-style repetition gates (default off): drop docs
+    # whose duplicate-word fraction / most-frequent-bigram fraction
+    # exceed the threshold (boilerplate and repeated-phrase spam)
+    max_dup_word_frac: float | None = None
+    max_top_bigram_frac: float | None = None
+    # optional CCNet-style unigram-LM gate (default off): drop docs
+    # whose mean token log-prob under the POST-GATE survivors' own
+    # unigram distribution falls outside [min, max] — low = rare
+    # garble, high = template text whose tokens dominate the corpus
+    min_lm_logprob: float | None = None
+    max_lm_logprob: float | None = None
     # optional per-domain cap AFTER dedup (cap counts kept docs)
     cap_per_source: int | None = None
     source_col: str = "source"
@@ -121,6 +138,29 @@ def prepare_corpus(
         & (F.col("n_tokens") >= cfg.min_tokens)
         & (F.col("punct_ratio") <= cfg.max_punct_ratio)
     )
+    # (1b) optional repetition gate: dup_word_frac is a narrow array
+    # expression (rides the same projection); top_bigram_frac adds
+    # with_repetition_features' bounded two-level bigram groupBy
+    if cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None:
+        kept = T.with_repetition_features(kept, text_col, id_col)
+        if cfg.max_dup_word_frac is not None:
+            kept = kept.filter(F.col("dup_word_frac") <= cfg.max_dup_word_frac)
+        if cfg.max_top_bigram_frac is not None:
+            kept = kept.filter(F.col("top_bigram_frac") <= cfg.max_top_bigram_frac)
+    # (1c) optional unigram-LM gate: scores are computed over the
+    # post-gate survivors (the distribution a CCNet pass would fit on
+    # the cleaned corpus), then joined back on id — one skew-safe
+    # aggregation pass (per-doc token counts pre-reduce before any
+    # join touches the Zipf-skewed token key)
+    if cfg.min_lm_logprob is not None or cfg.max_lm_logprob is not None:
+        lm = T.unigram_lm_scores(kept, id_col, text_col).select(
+            id_col, "lm_logprob6"
+        )
+        kept = kept.join(lm, id_col)
+        if cfg.min_lm_logprob is not None:
+            kept = kept.filter(F.col("lm_logprob6") >= cfg.min_lm_logprob)
+        if cfg.max_lm_logprob is not None:
+            kept = kept.filter(F.col("lm_logprob6") <= cfg.max_lm_logprob)
     # (2) exact dedup, min-id keeper
     kept = D.dedup_keep(kept, id_col, text_col)
     # (3) near-dup dedup over the survivors

@@ -17,9 +17,16 @@ load), doc source = "src" || (doc_id % 1000) with domain 0 inflated
 10x (domain-cap load), plus a 5-doc benchmark set whose spans
 contaminate every 13th doc (decontamination load).
 
-Records per n: wall time, docs in/out, packs rows, and the per-stage
-survivor counts implied by the final corpus. ->
-BENCH/CORPUS_PREP_SCALE_r04.json (one JSON line per n).
+r05: the composition now also exercises the two newest quality
+axes — the Gopher repetition gate (max_dup_word_frac /
+max_top_bigram_frac) and the CCNet unigram-LM gate (min_lm_logprob)
+— and every measurement runs behind the shared bench throttle gate
+(scripts/probe_gate; the r04 file's sec_corpus_only > sec rows were
+throttle-epoch artifacts a reader could not tell from plan
+problems). Records per n: wall time, docs in/out, packs rows, the
+accumulated gate wait, and the per-stage survivor counts implied by
+the final corpus. -> BENCH/CORPUS_PREP_SCALE_r05.json (one JSON
+line per n).
 
 Usage: python scripts/corpus_prep_scale_probe.py [sizes...]
        (default 100000 300000 1000000)
@@ -36,6 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from probe_gate import gated, make_gate
 from logmetrics_spark.functions import dedup as D
 from logmetrics_spark.plans.corpus_prep import CorpusPrepConfig, prepare_corpus
 from logmetrics_spark.session import get_spark
@@ -88,7 +96,8 @@ def main() -> None:
     sizes = [int(s) for s in sys.argv[1:]] or [100_000, 300_000, 1_000_000]
     mode = "a" if os.environ.get("PROBE_APPEND") == "1" else "w"
     os.makedirs("BENCH", exist_ok=True)
-    out_fh = open("BENCH/CORPUS_PREP_SCALE_r04.json", mode)
+    out_fh = open("BENCH/CORPUS_PREP_SCALE_r05.json", mode)
+    gate = make_gate()
     spark = get_spark(
         "corpus_prep_scale",
         master="local[16]",
@@ -111,6 +120,13 @@ def main() -> None:
             bucket_cap=64,
             decontam_ngram=8,
             line_dedup_words=3,
+            # r05: the two newest quality axes ride the composition.
+            # Thresholds are chosen to gate WITHOUT mass-dropping the
+            # synthetic corpus: hash-token docs have near-zero word
+            # repetition, and the unigram-LM floor sits well below the
+            # 5k-vocabulary mean logprob (~ -log 5000 = -8.5).
+            max_dup_word_frac=0.5,
+            min_lm_logprob=-12.0,
             cap_per_source=200,
             pack_budget=2048,
             pack_groups=64,
@@ -122,12 +138,8 @@ def main() -> None:
             # packs is the deepest output — one action runs the whole
             # composed DAG (corpus is its lineage prefix); corpus is
             # then counted separately so both numbers are recorded
-            t0 = time.time()
-            packs = out["packs"].count()
-            sec = round(time.time() - t0, 2)
-            t1 = time.time()
-            n_out = out["corpus"].count()
-            sec_corpus = round(time.time() - t1, 2)
+            packs, sec = gated(gate, out["packs"].count)
+            n_out, sec_corpus = gated(gate, out["corpus"].count)
             rec = {
                 "probe": "corpus_prep_e2e",
                 "n": n,
@@ -137,6 +149,9 @@ def main() -> None:
                 "sec": sec,
                 "sec_corpus_only": sec_corpus,
                 "docs_per_sec": round(n_in / sec, 1),
+                "gate_wait_sec": round(gate.wait_s, 1),
+                "stages": "line_dedup+quality+repetition+unigram_lm+"
+                "dedup+neardup+cap+decontam+mask+split+pack",
             }
             line = json.dumps(rec)
             print(line, flush=True)

@@ -754,6 +754,48 @@ def test_prepare_corpus_end_to_end(spark):
         assert r["n_tokens"] > 0
 
 
+def test_prepare_corpus_repetition_and_lm_gates(spark):
+    """Optional quality axes: the Gopher repetition gate drops the
+    repeated-phrase doc, the unigram-LM gate drops the rare-garble doc
+    (its mean token log-prob under the post-gate corpus distribution
+    is far below the shared-vocabulary docs'), and both feature
+    columns ride into the corpus table."""
+    from logmetrics_spark.plans.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        (1, shared + " tonight"),
+        (2, shared + " tomorrow"),
+        # repetition spam: dup_word_frac ~0.89, still English-marked
+        (3, ("the spam " * 9).strip()),
+        # rare garble: an English marker keeps lang_pred=en, but every
+        # content token is corpus-unique -> mean logprob ~-3.43 vs
+        # ~-2.68 for docs 1-2
+        (4, "the zxqv jkwp qqrz vvbn mmtr ppls wwgh ttyu oorv nnds"),
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = prepare_corpus(
+        docs,
+        None,
+        CorpusPrepConfig(
+            neardup_threshold=0.9,
+            max_dup_word_frac=0.5,
+            min_lm_logprob=-3.0,
+            pack_budget=64,
+            pack_groups=4,
+        ),
+    )
+    corpus = {r["doc_id"]: r for r in out["corpus"].collect()}
+    assert sorted(corpus) == [1, 2], sorted(corpus)
+    assert all("dup_word_frac" in r.asDict() for r in corpus.values())
+    assert all("lm_logprob6" in r.asDict() for r in corpus.values())
+    # packs cover exactly the survivors
+    assert sorted(r["doc_id"] for r in out["packs"].collect()) == [1, 2]
+
+
 def test_prepare_corpus_output_text_is_masked(spark):
     """The prepared corpus's text column must be the PII-MASKED form:
     no email/phone/IP literal survives into the output table or the
@@ -927,6 +969,32 @@ def test_unigram_lm_scores_known_values(spark):
     assert out == exp
     # the common-token doc outranks the rare-token docs
     assert out[1][1] > out[2][1] and out[1][1] > out[3][1]
+
+
+def test_unigram_lm_plan_preaggregates_before_token_join(spark):
+    """Skew pin (VERDICT r04 §1): nothing may join on the Zipf-skewed
+    token key at occurrence granularity — the executed plan must show
+    the per-doc (id, tok) pre-aggregation BELOW the token join, and
+    the doc-level exchange reused across the vocabulary/total
+    branches (one corpus scan)."""
+    import re
+
+    rows = [(i, "the quick brown fox and the lazy dog") for i in range(64)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    df = T.unigram_lm_scores(docs)
+    df.collect()  # executes THIS QueryExecution -> AQE final plan
+    s = df._jdf.queryExecution().executedPlan().toString()
+    join_at = min(
+        i
+        for i in (s.find("Join [tok"), s.find("Join tok"))
+        if i >= 0
+    ) if ("Join [tok" in s or "Join tok" in s) else s.find("Join")
+    preagg = re.search(r"HashAggregate\(keys=\[id#\d+L?, tok#\d+", s)
+    assert join_at >= 0, s
+    assert preagg is not None, s
+    # tree prints children after parents: pre-agg below the join
+    assert preagg.start() > join_at, s[:join_at + 200]
+    assert s.count("ReusedExchange") >= 2, s
 
 
 def test_line_dedup_blank_lines_are_structure(spark):
