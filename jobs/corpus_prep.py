@@ -118,11 +118,14 @@ def main() -> None:
         pack_budget=args.pack_budget,
         pack_groups=args.pack_groups,
     )
-    out = prepare_corpus(docs, benchmark, cfg)
+    registry: list = []
+    out = prepare_corpus(docs, benchmark, cfg, cache_registry=registry)
     corpus_dir = os.path.join(args.out, "corpus")
     packs_dir = os.path.join(args.out, "packs")
     out["corpus"].write.mode("overwrite").partitionBy("split").parquet(corpus_dir)
     out["packs"].write.mode("overwrite").parquet(packs_dir)
+    for df in registry:
+        df.unpersist()
     n = spark.read.parquet(corpus_dir).count()
     print(f"# prepared corpus: {n} docs under {corpus_dir}", file=sys.stderr)
 

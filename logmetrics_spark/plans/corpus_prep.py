@@ -93,6 +93,7 @@ def prepare_corpus(
     cfg: CorpusPrepConfig = CorpusPrepConfig(),
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> dict[str, DataFrame]:
     """Build the full prep plan lazily; returns the output tables.
 
@@ -112,7 +113,41 @@ def prepare_corpus(
     - ``packs``: (id, grp, bin_id, n_tokens, split) sequence-packing
       manifest, packed independently PER SPLIT (a bin must never mix
       train and test docs).
+
+    Stage boundaries whose frame feeds BOTH sides of a self-join (the
+    gate score joins, the LSH pair probe, the cap/decontam joins, the
+    corpus->packs fan-out) are pinned with a lazy ``localCheckpoint``.
+    Two distinct blowups force this, and ``persist`` alone only fixes
+    the first:
+
+    - *runtime*: each self-joining stage re-EXECUTES its entire
+      upstream plan once per consumer, so execution cost multiplies
+      per stage (2^stages) instead of adding;
+    - *planning*: each DataFrame reference textually duplicates the
+      upstream LOGICAL plan, so the tree Catalyst must analyze grows
+      multiplicatively per stage even when runtime results are
+      cached. The r05 probe caught the gated composition spending
+      >10 minutes of single-threaded DRIVER CPU in TreeNode
+      transforms at 100k docs — executors idle — after persist()
+      had already fixed the runtime side.
+
+    ``localCheckpoint(eager=False)`` truncates lineage to the
+    materialized partitions, so each stage is planned exactly once
+    against a leaf node and executed exactly once into block-manager
+    storage. Pinned frames are appended to ``cache_registry`` when
+    given; checkpoint storage is freed by the ContextCleaner once the
+    caller drops the references (a plain ``unpersist`` loop is a safe
+    no-op on them). On a multi-executor cluster prefer a reliable
+    checkpoint or a parquet stage-write for the same boundaries —
+    local checkpoints do not survive executor loss.
     """
+
+    def _pin(df: DataFrame) -> DataFrame:
+        p = df.localCheckpoint(eager=False)
+        if cache_registry is not None:
+            cache_registry.append(p)
+        return p
+
     # (0) optional C4-style duplicate-span removal — rewrites text, so
     # it runs FIRST: every downstream feature/fingerprint sees the
     # final text. Docs whose every segment was seen earlier vanish.
@@ -142,6 +177,9 @@ def prepare_corpus(
     # expression (rides the same projection); top_bigram_frac adds
     # with_repetition_features' bounded two-level bigram groupBy
     if cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None:
+        # with_repetition_features joins the bigram aggregate back on
+        # id — `kept` feeds both join sides, so pin it first
+        kept = _pin(kept)
         kept = T.with_repetition_features(kept, text_col, id_col)
         if cfg.max_dup_word_frac is not None:
             kept = kept.filter(F.col("dup_word_frac") <= cfg.max_dup_word_frac)
@@ -153,6 +191,9 @@ def prepare_corpus(
     # aggregation pass (per-doc token counts pre-reduce before any
     # join touches the Zipf-skewed token key)
     if cfg.min_lm_logprob is not None or cfg.max_lm_logprob is not None:
+        # the LM score join consumes `kept` three ways (token counts,
+        # vocabulary, and the join's left side) — pin it first
+        kept = _pin(kept)
         lm = T.unigram_lm_scores(kept, id_col, text_col).select(
             id_col, "lm_logprob6"
         )
@@ -161,27 +202,43 @@ def prepare_corpus(
             kept = kept.filter(F.col("lm_logprob6") >= cfg.min_lm_logprob)
         if cfg.max_lm_logprob is not None:
             kept = kept.filter(F.col("lm_logprob6") <= cfg.max_lm_logprob)
-    # (2) exact dedup, min-id keeper
-    kept = D.dedup_keep(kept, id_col, text_col)
+    # (2) exact dedup, min-id keeper. Pin the survivors: the LSH stage
+    # persists its own shingle/signature intermediates, but `kept`
+    # itself is still read twice (shingling + dedup_near_keep's left
+    # side), and everything upstream of here re-runs per read
+    kept = _pin(D.dedup_keep(kept, id_col, text_col))
     # (3) near-dup dedup over the survivors
     pairs = D.minhash_lsh_pairs(
-        kept, cfg.neardup_threshold, id_col, text_col, bucket_cap=cfg.bucket_cap
+        kept,
+        cfg.neardup_threshold,
+        id_col,
+        text_col,
+        bucket_cap=cfg.bucket_cap,
+        cache_registry=cache_registry,
     )
-    kept = D.dedup_near_keep(kept, pairs, id_col)
+    # near_keep's survivor anti-join, the cap's threshold semi-join,
+    # and decontamination's hit anti-join each read their input twice;
+    # pinning each stage output keeps the chain additive (2^stages
+    # re-evaluation otherwise — the re-runs hit the persisted LSH
+    # intermediates but still repeat the banding groupBy and verify
+    # joins per consumer)
+    kept = _pin(D.dedup_near_keep(kept, pairs, id_col))
     # (3b) optional per-domain cap over the dedup survivors (skew-safe
     # sketch-then-exact top-k — see sampling.cap_per_group)
     if cfg.cap_per_source is not None:
-        kept = S.cap_per_group(kept, cfg.source_col, cfg.cap_per_source, id_col)
+        kept = _pin(
+            S.cap_per_group(kept, cfg.source_col, cfg.cap_per_source, id_col)
+        )
     # (4) benchmark decontamination (optional)
     if benchmark is not None:
-        kept = D.decontaminate(
+        kept = _pin(D.decontaminate(
             kept,
             benchmark,
             id_col,
             text_col,
             n=cfg.decontam_ngram,
             min_hits=cfg.decontam_min_hits,
-        )
+        ))
     # (5) PII mask + (6) split: pure projections. The masked text
     # REPLACES text_col — the raw unmasked string must not survive
     # into the split/pack stages or the written corpus (a "prepared"
@@ -193,7 +250,9 @@ def prepare_corpus(
         .withColumn(text_col, F.col("masked_text"))
         .drop("masked_text")
     )
-    corpus = S.with_split(kept, dict(cfg.split_ratios), id_col)
+    # corpus feeds both the returned table and the packing manifest;
+    # pinning it stops the PII-regex pass from running once per reader
+    corpus = _pin(S.with_split(kept, dict(cfg.split_ratios), id_col))
     # (7) pack per split — bins must not straddle splits, so split is
     # an extra packing-shard key: ONE applyInPandas pass over all
     # splits. (A filter-then-pack loop per split recomputes the whole

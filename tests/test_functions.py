@@ -796,6 +796,62 @@ def test_prepare_corpus_repetition_and_lm_gates(spark):
     assert sorted(r["doc_id"] for r in out["packs"].collect()) == [1, 2]
 
 
+def test_prepare_corpus_cache_registry_pins_stage_boundaries(spark):
+    """The composed plan localCheckpoints every stage boundary that
+    feeds both sides of a self-join (gate score joins, LSH probe,
+    cap/decontam joins, the corpus->packs fan-out); without the pins
+    each optional gate MULTIPLIES both upstream re-execution and the
+    LOGICAL plan Catalyst must transform (the r05 probe measured >10
+    min of driver-side planning at 100k docs, executors idle).
+    Contract: pins land in cache_registry, values are identical to an
+    unregistered run, the executed plan reads the checkpointed leaves,
+    and the caller's unpersist loop is safe across the mixed
+    checkpoint/persist registry."""
+    from logmetrics_spark.plans.corpus_prep import (
+        CorpusPrepConfig,
+        prepare_corpus,
+    )
+
+    rows = [
+        (i, f"the quick brown fox number w{i % 7} jumps over the lazy dog")
+        for i in range(1, 41)
+    ]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    bench = spark.createDataFrame(
+        pd.DataFrame([(900, "the quick brown fox number")], columns=["doc_id", "text"])
+    )
+    cfg = CorpusPrepConfig(
+        neardup_threshold=0.95,
+        max_dup_word_frac=0.9,
+        min_lm_logprob=-50.0,
+        cap_per_source=1000,
+        source_col="doc_id",  # every doc its own "domain" (no source col here)
+        decontam_ngram=5,
+        decontam_min_hits=10_000,  # report-only threshold: nothing dropped
+        pack_budget=64,
+        pack_groups=4,
+    )
+    registry: list = []
+    out = prepare_corpus(docs, bench, cfg, cache_registry=registry)
+    got = sorted(r["doc_id"] for r in out["packs"].collect())
+    # every self-join boundary pinned: repetition gate, LM gate, exact
+    # dedup, near-dup keep, cap, decontaminate, corpus fan-out, plus
+    # the LSH builder's persisted shingle+signature pair
+    assert len(registry) >= 7, len(registry)
+    # the checkpointed boundaries are plan LEAVES: the packs plan scans
+    # the materialized RDD instead of re-deriving (and re-planning) the
+    # upstream stages
+    plan_str = out["packs"]._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan_str, plan_str[:2000]
+    # values match an unregistered (but still pinned) run
+    out2 = prepare_corpus(docs, bench, cfg)
+    assert got == sorted(r["doc_id"] for r in out2["packs"].collect())
+    # the documented cleanup loop must be safe on the mixed registry
+    # (no-op on checkpointed frames, real unpersist on the LSH caches)
+    for df in registry:
+        df.unpersist()
+
+
 def test_prepare_corpus_output_text_is_masked(spark):
     """The prepared corpus's text column must be the PII-MASKED form:
     no email/phone/IP literal survives into the output table or the
