@@ -207,6 +207,18 @@ def cap_per_group(
     grid = int(quantile_grid)
     if grid < 2:
         raise ValueError(f"quantile_grid={grid} must be >= 2")
+    # the quantile sketch orders NUMBERS — a string id (valid for the
+    # r04 collect_list shape) would fail percentile_approx analysis
+    # with an opaque error; fail loudly with the workaround instead
+    from pyspark.sql.types import NumericType
+
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"cap_per_group requires a numeric {id_col!r} (got "
+            f"{id_type.simpleString()}); map string ids through "
+            f"xxhash64() first, or keep a numeric surrogate id"
+        )
     ids = docs.select(F.col(group_col), F.col(id_col))
     th_agg = ids.groupBy(group_col).agg(
         F.count(id_col).alias("_n"),
@@ -215,16 +227,22 @@ def cap_per_group(
             id_col, [i / grid for i in range(grid + 1)], accuracy
         ).alias("_qs"),
     )
+    # ceil() yields LONG — keep it long for the >= grid test (a
+    # web-scale cap over a tiny group makes cap/N*grid exceed int32,
+    # and a wrapped cast would skip the keep-everything branch and
+    # index the sketch array with garbage); only the element_at
+    # index, provably < grid after the least(), narrows to int
     idx = F.ceil(
         (F.lit(float(cap)) / F.greatest(F.col("_n"), F.lit(1)) + F.lit(1.0 / accuracy))
         * grid
-    ).cast("int")
+    )
+    safe_idx = F.least(idx, F.lit(grid)).cast("int")
     # at/above the top of the grid the sketch's q(1.0) is not trusted
     # for exactness — use the exact max (keep-everything threshold)
     th = th_agg.select(
         F.col(group_col).alias("_t_grp"),
         F.when(idx >= grid, F.col("_max"))
-        .otherwise(F.element_at("_qs", idx + 1))
+        .otherwise(F.element_at("_qs", safe_idx + 1))
         .alias("_th"),
     )
     residual = ids.join(

@@ -223,7 +223,10 @@ def with_pii_masked(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def with_repetition_features(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    include_bigrams: bool = True,
 ) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
     public paper): per document,
@@ -240,7 +243,13 @@ def with_repetition_features(
     per-id max, joined back on the id. Linear in total tokens, never
     quadratic in document length (the naive per-row
     transform(distinct, count) is O(|bigrams|^2) per doc — wrong for
-    web pages with 10^4+ tokens)."""
+    web pages with 10^4+ tokens).
+
+    ``include_bigrams=False`` skips the bigram aggregation AND the
+    join back entirely (no ``top_bigram_frac`` column): a caller that
+    only gates on ``dup_word_frac`` gets a pure narrow projection —
+    zero shuffle — instead of paying the explode + two shuffles + join
+    for a column it discards."""
     c = F.col(text_col)
     toks = tokens(c)
     n_tokens = token_count(c)
@@ -254,6 +263,8 @@ def with_repetition_features(
             6,
         ),
     )
+    if not include_bigrams:
+        return base.drop("_toks")
     bigrams = F.expr(
         "zip_with(slice(_toks, 1, size(_toks) - 1),"
         " slice(_toks, 2, size(_toks) - 1), (a, b) -> concat(a, ' ', b))"

@@ -94,22 +94,28 @@ def _expand_template(template: str, source: pd.Series, pattern: str) -> pd.Serie
     return result
 
 
-_BACKREF_RE = re.compile(r"\\[1-9]|\(\?P=")
+# constructs whose semantics depend on groups EXISTING: numbered /
+# named backrefs and conditional groups (?(id)...). Decapturing would
+# change match results (or produce an invalid pattern, for the
+# conditional), so such patterns pass through unchanged — the pandas
+# warning is accurate for them, and none are expressible in the
+# reference's RE2-subset grammar anyway.
+_BACKREF_RE = re.compile(r"\\[1-9]|\(\?P=|\(\?\(")
 
 
 def _decapture(pat: str) -> str:
-    """Rewrite capturing groups as non-capturing for pure match-
-    predicate use (str.contains warns on capture groups, and the
-    groups are only needed by the extract-based @@n@@ templates, which
-    keep the ORIGINAL pattern). Escapes and character classes are
-    respected; patterns with backreferences are returned unchanged
-    (removing their groups would change semantics — the pandas
-    warning is accurate for those, but none of the reference configs
-    use them)."""
+    """Rewrite capturing groups — plain ``(...)`` and named
+    ``(?P<name>...)`` — as non-capturing for pure match-predicate use
+    (str.contains warns on capture groups, and the groups are only
+    needed by the extract-based @@n@@ templates, which keep the
+    ORIGINAL pattern). Escapes and character classes are respected,
+    including a literal ``]`` as the first class member (``[]x]`` /
+    ``[^]x]``); patterns whose semantics depend on groups existing
+    (backreferences, conditional groups) are returned unchanged."""
     if _BACKREF_RE.search(pat):
         return pat
     out: list[str] = []
-    i, n, in_class = 0, len(pat), False
+    i, n, in_class, class_first = 0, len(pat), False, False
     while i < n:
         c = pat[i]
         if c == "\\" and i + 1 < n:
@@ -117,10 +123,23 @@ def _decapture(pat: str) -> str:
             i += 2
             continue
         if in_class:
-            if c == "]":
+            if c == "]" and not class_first:
                 in_class = False
+            else:
+                # '^' at class start keeps the NEXT ']' literal;
+                # anything else (including a literal ']' first
+                # member) closes the class-start window
+                class_first = c == "^" and class_first
         elif c == "[":
             in_class = True
+            class_first = True
+        elif c == "(" and pat.startswith("?P<", i + 1):
+            end = pat.find(">", i + 4)
+            if end < 0:
+                return pat  # malformed; let re raise on the original
+            out.append("(?:")
+            i = end + 1
+            continue
         elif c == "(" and (i + 1 >= n or pat[i + 1] != "?"):
             out.append("(?:")
             i += 1

@@ -177,10 +177,16 @@ def prepare_corpus(
     # expression (rides the same projection); top_bigram_frac adds
     # with_repetition_features' bounded two-level bigram groupBy
     if cfg.max_dup_word_frac is not None or cfg.max_top_bigram_frac is not None:
-        # with_repetition_features joins the bigram aggregate back on
-        # id — `kept` feeds both join sides, so pin it first
-        kept = _pin(kept)
-        kept = T.with_repetition_features(kept, text_col, id_col)
+        # the bigram mode joins its aggregate back on id — `kept`
+        # feeds both join sides, so pin it first. A dup_word_frac-only
+        # gate is a pure narrow projection: no bigram machinery, no
+        # pin, no top_bigram_frac column
+        need_bigrams = cfg.max_top_bigram_frac is not None
+        if need_bigrams:
+            kept = _pin(kept)
+        kept = T.with_repetition_features(
+            kept, text_col, id_col, include_bigrams=need_bigrams
+        )
         if cfg.max_dup_word_frac is not None:
             kept = kept.filter(F.col("dup_word_frac") <= cfg.max_dup_word_frac)
         if cfg.max_top_bigram_frac is not None:

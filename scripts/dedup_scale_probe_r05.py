@@ -115,7 +115,14 @@ def main() -> None:
             print(json.dumps(rec, default=int), flush=True)
             out_fh.write(json.dumps(rec, default=int) + "\n")
             out_fh.flush()
+            # clearCache() (needed to drop the LSH builder's internal
+            # persists between widths) also drops the shared corpus —
+            # rewarm it OUTSIDE any gated window so every width
+            # measures against an identically-cached input instead of
+            # silently paying 1M-row embedding regeneration
             spark.catalog.clearCache()
+            emb.persist()
+            emb.count()
         emb.unpersist()
     finally:
         spark.stop()

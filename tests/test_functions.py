@@ -517,6 +517,44 @@ def test_repetition_features_known_values(spark):
     assert rows[2]["n_tokens"] == 1 and rows[2]["top_bigram_frac"] == 0.0
     assert rows[3]["n_tokens"] == 0
     assert rows[3]["dup_word_frac"] == 0.0 and rows[3]["top_bigram_frac"] == 0.0
+    # dup-word-only mode: identical dup_word_frac values, NO bigram
+    # column, and no join/aggregate in the plan (pure projection)
+    slim = T.with_repetition_features(df, include_bigrams=False)
+    assert "top_bigram_frac" not in slim.columns
+    srows = {r["doc_id"]: r for r in slim.collect()}
+    for i in range(4):
+        assert srows[i]["dup_word_frac"] == rows[i]["dup_word_frac"]
+    plan = slim._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Aggregate" not in plan, plan[:1500]
+
+
+def test_decapture_group_semantics():
+    """_decapture must neutralize plain and named groups, keep
+    group-dependent constructs (backrefs, conditionals) unchanged, and
+    respect literal ']' as a first class member — every output must
+    compile and match identically to the input pattern."""
+    import re as _re
+
+    from logmetrics_spark.operators.fused import _decapture
+
+    cases = {
+        "(foo)bar": "(?:foo)bar",
+        "(foo)?(?(1)bar|qux)": "(foo)?(?(1)bar|qux)",
+        r"(a)\1": r"(a)\1",
+        "(?P<lvl>ERROR|WARN)": "(?:ERROR|WARN)",
+        "(?P<a>x)(?P=a)": "(?P<a>x)(?P=a)",
+        "[](]": "[](]",
+        "[^](]": "[^](]",
+        "[(]x(y)": "[(]x(?:y)",
+        r"\(x\)(y)": r"\(x\)(?:y)",
+        "(?:already)(z)": "(?:already)(?:z)",
+    }
+    probes = ["foobar", "barqux", "aa", "ERROR", "xx", "](", "?", ":", "(xy", "(x)y", "alreadyz"]
+    for pat, want in cases.items():
+        got = _decapture(pat)
+        assert got == want, (pat, got, want)
+        for s in probes:
+            assert bool(_re.search(got, s)) == bool(_re.search(pat, s)), (pat, s)
 
 
 def test_asof_join_matches_pandas_merge_asof(spark):
@@ -956,6 +994,22 @@ def test_cap_per_group_exact_and_small_groups(spark):
             for i in sorted(i2 for i2, g2 in rows if g2 == g)[:5]
         )
         assert out == expect, grid
+    # web-scale cap over tiny groups: cap/N*grid far exceeds int32 —
+    # the long-typed grid index must take the keep-everything branch
+    # instead of wrapping into a garbage sketch index
+    out = sorted(
+        (r["grp"], r["doc_id"])
+        for r in cap_per_group(docs, "grp", 3_000_000).collect()
+    )
+    assert out == sorted((g, i) for i, g in rows)
+    # string ids: the quantile sketch orders numbers — fail loudly
+    import pytest as _pytest
+
+    sdocs = spark.createDataFrame(
+        pd.DataFrame([("a", "g")], columns=["doc_id", "grp"])
+    )
+    with _pytest.raises(TypeError, match="numeric"):
+        cap_per_group(sdocs, "grp", 5)
 
 
 def test_prepare_corpus_optional_stages(spark):
