@@ -100,7 +100,11 @@ def main() -> None:
     gate = make_gate()
     spark = get_spark(
         "corpus_prep_scale",
-        master="local[16]",
+        # PROBE_MASTER lets the same composed job run at two
+        # parallelism levels (e.g. local[4] vs local[16]) for the
+        # north rule's N->4N scaling-efficiency evidence on the
+        # corpus-prep surface
+        master=os.environ.get("PROBE_MASTER", "local[16]"),
         shuffle_partitions=64,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
@@ -160,6 +164,7 @@ def main() -> None:
                 "sec_corpus_only": sec_corpus,
                 "docs_per_sec": round(n_in / sec, 1),
                 "gate_wait_sec": round(gate.wait_s, 1),
+                "master": os.environ.get("PROBE_MASTER", "local[16]"),
                 "stages": "line_dedup+quality+repetition+unigram_lm+"
                 "dedup+neardup+cap+decontam+mask+split+pack",
             }
