@@ -95,7 +95,10 @@ def prepare_corpus(
     text_col: str = "text",
     cache_registry: list | None = None,
 ) -> dict[str, DataFrame]:
-    """Build the full prep plan lazily; returns the output tables.
+    """Build and stage-materialize the prep plan; returns the output
+    tables (see the pinning note below — the expensive stages run
+    inside this call, the returned frames are cheap reads over the
+    final pins).
 
     ``docs`` columns are preserved through every stage (filters and
     left-antis only drop rows), plus the added feature/split columns —
@@ -131,10 +134,12 @@ def prepare_corpus(
       transforms at 100k docs — executors idle — after persist()
       had already fixed the runtime side.
 
-    ``localCheckpoint(eager=False)`` truncates lineage to the
+    An eager ``localCheckpoint`` truncates lineage to the
     materialized partitions, so each stage is planned exactly once
     against a leaf node and executed exactly once into block-manager
-    storage. Pinned frames are appended to ``cache_registry`` when
+    storage — the plan therefore MATERIALIZES STAGE BY STAGE during
+    this call; the returned tables are cheap projections over the
+    last pins. Pinned frames are appended to ``cache_registry`` when
     given; checkpoint storage is freed by the ContextCleaner once the
     caller drops the references (a plain ``unpersist`` loop is a safe
     no-op on them). On a multi-executor cluster prefer a reliable
@@ -143,7 +148,15 @@ def prepare_corpus(
     """
 
     def _pin(df: DataFrame) -> DataFrame:
-        p = df.localCheckpoint(eager=False)
+        # eager: under AQE a "lazy" checkpoint already executes its
+        # shuffle stages at plan-build time, so laziness buys nothing —
+        # while computing the checkpoint RDD AFTER its SQL execution
+        # closes spams benign-but-alarming "non-existent accumulator"
+        # errors from every task's metric update (observed 52/run on
+        # the CLI job). Eager keeps each stage inside its own live
+        # execution: clean metrics, same work, failures surface at the
+        # stage that caused them.
+        p = df.localCheckpoint(eager=True)
         if cache_registry is not None:
             cache_registry.append(p)
         return p
