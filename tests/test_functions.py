@@ -881,6 +881,13 @@ def test_prepare_corpus_cache_registry_pins_stage_boundaries(spark):
     # upstream stages
     plan_str = out["packs"]._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan_str, plan_str[:2000]
+    # and the logical tree Catalyst must transform stays BOUNDED
+    # (pre-pin, every optional gate multiplied the tree and the gated
+    # composition took >10 min of driver CPU to plan at 100k docs);
+    # the fully-pinned packs plan is ~4 lines — 30 leaves generous
+    # headroom for future stages while catching any re-blowup
+    analyzed = out["packs"]._jdf.queryExecution().analyzed().toString()
+    assert len(analyzed.splitlines()) < 30, analyzed[:2000]
     # values match an unregistered (but still pinned) run
     out2 = prepare_corpus(docs, bench, cfg)
     assert got == sorted(r["doc_id"] for r in out2["packs"].collect())
