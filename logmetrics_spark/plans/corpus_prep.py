@@ -94,6 +94,7 @@ def prepare_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     cache_registry: list | None = None,
+    stage_times: list | None = None,
 ) -> dict[str, DataFrame]:
     """Build and stage-materialize the prep plan; returns the output
     tables (see the pinning note below — the expensive stages run
@@ -145,9 +146,20 @@ def prepare_corpus(
     no-op on them). On a multi-executor cluster prefer a reliable
     checkpoint or a parquet stage-write for the same boundaries —
     local checkpoints do not survive executor loss.
-    """
 
-    def _pin(df: DataFrame) -> DataFrame:
+    ``stage_times``, when given, collects ``(stage_label, seconds)``
+    per pin — each entry is the wall time since the PREVIOUS pin
+    completed, so a stage's construction-time jobs (the components
+    iteration, the LSH builds) are attributed to it; because pins are
+    eager and sequential, the entries sum to the prep's wall time up
+    to the last pin — the per-stage breakdown an operator wants from
+    any production pipeline.
+    """
+    import time as _time
+
+    _t_last = [_time.monotonic()]
+
+    def _pin(df: DataFrame, label: str) -> DataFrame:
         # eager: under AQE a "lazy" checkpoint already executes its
         # shuffle stages at plan-build time, so laziness buys nothing —
         # while computing the checkpoint RDD AFTER its SQL execution
@@ -157,6 +169,14 @@ def prepare_corpus(
         # execution: clean metrics, same work, failures surface at the
         # stage that caused them.
         p = df.localCheckpoint(eager=True)
+        if stage_times is not None:
+            # delta since the previous pin, so stages that run their
+            # own jobs during CONSTRUCTION (the components iteration
+            # inside near_dup, the LSH builds) are attributed to the
+            # stage that ran them, not silently dropped
+            now = _time.monotonic()
+            stage_times.append((label, round(now - _t_last[0], 3)))
+            _t_last[0] = now
         if cache_registry is not None:
             cache_registry.append(p)
         return p
@@ -196,7 +216,7 @@ def prepare_corpus(
         # pin, no top_bigram_frac column
         need_bigrams = cfg.max_top_bigram_frac is not None
         if need_bigrams:
-            kept = _pin(kept)
+            kept = _pin(kept, "pre_repetition")
         kept = T.with_repetition_features(
             kept, text_col, id_col, include_bigrams=need_bigrams
         )
@@ -212,7 +232,7 @@ def prepare_corpus(
     if cfg.min_lm_logprob is not None or cfg.max_lm_logprob is not None:
         # the LM score join consumes `kept` three ways (token counts,
         # vocabulary, and the join's left side) — pin it first
-        kept = _pin(kept)
+        kept = _pin(kept, "pre_unigram_lm")
         lm = T.unigram_lm_scores(kept, id_col, text_col).select(
             id_col, "lm_logprob6"
         )
@@ -225,7 +245,7 @@ def prepare_corpus(
     # persists its own shingle/signature intermediates, but `kept`
     # itself is still read twice (shingling + dedup_near_keep's left
     # side), and everything upstream of here re-runs per read
-    kept = _pin(D.dedup_keep(kept, id_col, text_col))
+    kept = _pin(D.dedup_keep(kept, id_col, text_col), "exact_dedup")
     # (3) near-dup dedup over the survivors
     pairs = D.minhash_lsh_pairs(
         kept,
@@ -241,23 +261,27 @@ def prepare_corpus(
     # re-evaluation otherwise — the re-runs hit the persisted LSH
     # intermediates but still repeat the banding groupBy and verify
     # joins per consumer)
-    kept = _pin(D.dedup_near_keep(kept, pairs, id_col))
+    kept = _pin(D.dedup_near_keep(kept, pairs, id_col), "near_dup")
     # (3b) optional per-domain cap over the dedup survivors (skew-safe
     # sketch-then-exact top-k — see sampling.cap_per_group)
     if cfg.cap_per_source is not None:
         kept = _pin(
-            S.cap_per_group(kept, cfg.source_col, cfg.cap_per_source, id_col)
+            S.cap_per_group(kept, cfg.source_col, cfg.cap_per_source, id_col),
+            "domain_cap",
         )
     # (4) benchmark decontamination (optional)
     if benchmark is not None:
-        kept = _pin(D.decontaminate(
-            kept,
-            benchmark,
-            id_col,
-            text_col,
-            n=cfg.decontam_ngram,
-            min_hits=cfg.decontam_min_hits,
-        ))
+        kept = _pin(
+            D.decontaminate(
+                kept,
+                benchmark,
+                id_col,
+                text_col,
+                n=cfg.decontam_ngram,
+                min_hits=cfg.decontam_min_hits,
+            ),
+            "decontaminate",
+        )
     # (5) PII mask + (6) split: pure projections. The masked text
     # REPLACES text_col — the raw unmasked string must not survive
     # into the split/pack stages or the written corpus (a "prepared"
@@ -271,7 +295,7 @@ def prepare_corpus(
     )
     # corpus feeds both the returned table and the packing manifest;
     # pinning it stops the PII-regex pass from running once per reader
-    corpus = _pin(S.with_split(kept, dict(cfg.split_ratios), id_col))
+    corpus = _pin(S.with_split(kept, dict(cfg.split_ratios), id_col), "mask_split")
     # (7) pack per split — bins must not straddle splits, so split is
     # an extra packing-shard key: ONE applyInPandas pass over all
     # splits. (A filter-then-pack loop per split recomputes the whole

@@ -148,8 +148,16 @@ def main() -> None:
             # gated window. The follow-up corpus count then reads the
             # pinned table (~free) — recorded as evidence the pin
             # serves both outputs.
+            stage_times: list = []
+
             def build_and_count():
-                o = prepare_corpus(docs, bench, cfg, cache_registry=registry)
+                o = prepare_corpus(
+                    docs,
+                    bench,
+                    cfg,
+                    cache_registry=registry,
+                    stage_times=stage_times,
+                )
                 return o, o["packs"].count()
 
             (out, packs), sec = gated(gate, build_and_count)
@@ -165,6 +173,7 @@ def main() -> None:
                 "docs_per_sec": round(n_in / sec, 1),
                 "gate_wait_sec": round(gate.wait_s, 1),
                 "master": os.environ.get("PROBE_MASTER", "local[16]"),
+                "stage_sec": dict(stage_times),
                 "stages": "line_dedup+quality+repetition+unigram_lm+"
                 "dedup+neardup+cap+decontam+mask+split+pack",
             }
