@@ -115,7 +115,7 @@ def _decapture(pat: str) -> str:
     if _BACKREF_RE.search(pat):
         return pat
     out: list[str] = []
-    i, n, in_class, class_first = 0, len(pat), False, False
+    i, n, in_class = 0, len(pat), False
     while i < n:
         c = pat[i]
         if c == "\\" and i + 1 < n:
@@ -123,16 +123,24 @@ def _decapture(pat: str) -> str:
             i += 2
             continue
         if in_class:
-            if c == "]" and not class_first:
+            if c == "]":
                 in_class = False
-            else:
-                # '^' at class start keeps the NEXT ']' literal;
-                # anything else (including a literal ']' first
-                # member) closes the class-start window
-                class_first = c == "^" and class_first
         elif c == "[":
+            # consume the class start greedily: an optional '^' and
+            # then an optional LITERAL ']' first member — scanning
+            # them positionally (not via a state flag) keeps escaped
+            # first members ('[\\d]...') and '[^^]' from wedging the
+            # class open for the rest of the pattern
             in_class = True
-            class_first = True
+            out.append(c)
+            i += 1
+            if i < n and pat[i] == "^":
+                out.append("^")
+                i += 1
+            if i < n and pat[i] == "]":
+                out.append("]")
+                i += 1
+            continue
         elif c == "(" and pat.startswith("?P<", i + 1):
             end = pat.find(">", i + 4)
             if end < 0:

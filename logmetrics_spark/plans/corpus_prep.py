@@ -113,14 +113,21 @@ def prepare_corpus(
       PII counts, and ``split`` — the table written partitioned by
       split. ``text_col`` holds the PII-MASKED text (the raw
       unmasked string is dropped at the masking stage — it must not
-      reach the written corpus or the packing manifest);
+      reach the written corpus or the packing manifest). Feature
+      columns reflect the CONFIGURED gates: ``dup_word_frac`` /
+      ``top_bigram_frac`` / ``lm_logprob6`` appear only when their
+      gate is set, and ``top_bigram_frac`` specifically requires
+      ``max_top_bigram_frac`` (a dup-word-only gate runs the cheap
+      narrow projection and does not produce the bigram column) —
+      pin gate configs per corpus if downstream readers schema-merge
+      across runs;
     - ``packs``: (id, grp, bin_id, n_tokens, split) sequence-packing
       manifest, packed independently PER SPLIT (a bin must never mix
       train and test docs).
 
     Stage boundaries whose frame feeds BOTH sides of a self-join (the
     gate score joins, the LSH pair probe, the cap/decontam joins, the
-    corpus->packs fan-out) are pinned with a lazy ``localCheckpoint``.
+    corpus->packs fan-out) are pinned with an eager ``localCheckpoint``.
     Two distinct blowups force this, and ``persist`` alone only fixes
     the first:
 

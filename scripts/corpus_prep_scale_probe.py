@@ -98,13 +98,14 @@ def main() -> None:
     os.makedirs("BENCH", exist_ok=True)
     out_fh = open("BENCH/CORPUS_PREP_SCALE_r05.json", mode)
     gate = make_gate()
+    master = os.environ.get("PROBE_MASTER", "local[16]")
     spark = get_spark(
         "corpus_prep_scale",
         # PROBE_MASTER lets the same composed job run at two
         # parallelism levels (e.g. local[4] vs local[16]) for the
         # north rule's N->4N scaling-efficiency evidence on the
         # corpus-prep surface
-        master=os.environ.get("PROBE_MASTER", "local[16]"),
+        master=master,
         shuffle_partitions=64,
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
@@ -140,14 +141,12 @@ def main() -> None:
             n_in = docs.count()
             registry: list = []
 
-            # prepare_corpus pins stage boundaries with lazy
-            # localCheckpoints; under AQE, building the plan already
-            # EXECUTES each pinned stage's shuffles (adaptive stage
-            # materialization at toRdd time), so the honest e2e
-            # measurement wraps construction + the packs action in ONE
-            # gated window. The follow-up corpus count then reads the
-            # pinned table (~free) — recorded as evidence the pin
-            # serves both outputs.
+            # prepare_corpus pins stage boundaries with EAGER
+            # localCheckpoints — the stages execute inside the call —
+            # so the honest e2e measurement wraps construction + the
+            # packs action in ONE gated window. The follow-up corpus
+            # count then reads the pinned table (~free) — recorded as
+            # evidence the pin serves both outputs.
             stage_times: list = []
 
             def build_and_count():
@@ -172,7 +171,7 @@ def main() -> None:
                 "sec_corpus_only": sec_corpus,
                 "docs_per_sec": round(n_in / sec, 1),
                 "gate_wait_sec": round(gate.wait_s, 1),
-                "master": os.environ.get("PROBE_MASTER", "local[16]"),
+                "master": master,
                 "stage_sec": dict(stage_times),
                 "stages": "line_dedup+quality+repetition+unigram_lm+"
                 "dedup+neardup+cap+decontam+mask+split+pack",
@@ -181,9 +180,21 @@ def main() -> None:
             print(line, flush=True)
             out_fh.write(line + "\n")
             out_fh.flush()
+            # unpersist frees the CacheManager entries (LSH
+            # intermediates); checkpoint blocks are freed only when
+            # the JVM GC collects the dropped RDD references — force
+            # both collections so one size's ~6 pinned full-corpus
+            # copies can't sit in block storage inside the NEXT
+            # size's gated measurement window
             for df in registry:
                 df.unpersist()
+            registry.clear()
+            del out  # the returned frames hold the checkpointed RDDs
             docs.unpersist()
+            import gc as _gc
+
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
     finally:
         spark.stop()
         out_fh.close()

@@ -53,7 +53,19 @@ def main() -> None:
     try:
         emb = gen_embeddings(spark, n, viral=True).persist()
         emb.count()
+        first = True
         for width in (16, 20):
+            if not first:
+                # clearCache (needed to drop the LSH builder's
+                # internal persists between widths) also drops the
+                # shared corpus — rewarm it OUTSIDE any gated window
+                # so every width measures against an
+                # identically-cached input; doing this at loop TOP
+                # skips a useless final regeneration pass
+                spark.catalog.clearCache()
+                emb.persist()
+                emb.count()
+            first = False
             n_bands = 4
             n_planes = width * n_bands
             planes = D.hyperplanes(64, n_planes)
@@ -115,14 +127,6 @@ def main() -> None:
             print(json.dumps(rec, default=int), flush=True)
             out_fh.write(json.dumps(rec, default=int) + "\n")
             out_fh.flush()
-            # clearCache() (needed to drop the LSH builder's internal
-            # persists between widths) also drops the shared corpus —
-            # rewarm it OUTSIDE any gated window so every width
-            # measures against an identically-cached input instead of
-            # silently paying 1M-row embedding regeneration
-            spark.catalog.clearCache()
-            emb.persist()
-            emb.count()
         emb.unpersist()
     finally:
         spark.stop()

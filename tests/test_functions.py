@@ -546,10 +546,13 @@ def test_decapture_group_semantics():
         "[](]": "[](]",
         "[^](]": "[^](]",
         "[(]x(y)": "[(]x(?:y)",
+        r"[\d](a)": r"[\d](?:a)",
+        r"[\]](a)": r"[\]](?:a)",
+        "[^^](a)": "[^^](?:a)",
         r"\(x\)(y)": r"\(x\)(?:y)",
         "(?:already)(z)": "(?:already)(?:z)",
     }
-    probes = ["foobar", "barqux", "aa", "ERROR", "xx", "](", "?", ":", "(xy", "(x)y", "alreadyz"]
+    probes = ["foobar", "barqux", "aa", "ERROR", "xx", "](", "?", ":", "(xy", "(x)y", "alreadyz", "1a", "]a", "^a", "ba"]
     for pat, want in cases.items():
         got = _decapture(pat)
         assert got == want, (pat, got, want)
