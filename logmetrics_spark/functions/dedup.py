@@ -305,9 +305,72 @@ def shingle_hashes(
     long-typed form every downstream minhash consumer works on — the
     raw shingle STRINGS (avg tens of bytes each) never need to leave
     the map side, which cuts both the persisted footprint and the
-    verify-join shuffle bytes several-fold vs joining on strings."""
-    return shingles(docs, id_col, text_col, n).select(
-        "id", md5_52(F.col("shingle")).alias("h")
+    verify-join shuffle bytes several-fold vs joining on strings.
+
+    Execution (r06, guide §4.2): one mapInArrow kernel instead of the
+    v1 split -> transform(concat_ws) -> array_distinct -> explode ->
+    md5 expression chain. Normalization (lower + whitespace collapse +
+    trim) stays in the JVM — Python only splits on the single spaces
+    the JVM already collapsed to — and the md5_52 of each gram string
+    is cached per task, so boilerplate grams repeated across documents
+    are hashed once per task instead of once per occurrence. Pure
+    integer md5 math (hashlib md5 == JVM md5 on UTF-8 bytes;
+    int(hex[:13], 16) == conv(substring(md5,1,13),16,10)), so the
+    (id, h) table is bit-identical to v1 — pinned by the unchanged
+    DuckDB oracles of every consumer (minhash_lsh, incremental,
+    components, decontaminate)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def gen(batches):
+        import hashlib
+
+        cache: dict[str, int] = {}
+        cache_cap = 1 << 21  # bound per-task memory on adversarial vocab
+
+        def gh(g: str) -> int:
+            h = cache.get(g)
+            if h is None:
+                h = int(hashlib.md5(g.encode("utf-8")).hexdigest()[:13], 16)
+                if len(cache) < cache_cap:
+                    cache[g] = h
+            return h
+
+        schema = pa.schema([("id", pa.int64()), ("h", pa.int64())])
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("id").to_pylist()
+            texts = batch.column("_norm").to_pylist()
+            out_id: list[int] = []
+            out_h: list[int] = []
+            for i, s in zip(ids, texts):
+                if s is None:
+                    continue  # v1: explode(null array) dropped the doc
+                toks = s.split(" ")
+                m = len(toks) - n + 1
+                if m <= 0:
+                    continue  # fewer than n tokens -> no shingles
+                grams = {" ".join(toks[j : j + n]) for j in range(m)}
+                out_id.extend([i] * len(grams))
+                for g in grams:
+                    out_h.append(gh(g))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.array(out_id, dtype=np.int64), pa.int64()),
+                    pa.array(np.array(out_h, dtype=np.int64), pa.int64()),
+                ],
+                schema=schema,
+            )
+
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            normalized(F.col(text_col)).alias("_norm"),
+        )
+        .repartition(spread)
+        .mapInArrow(gen, "id long, h long")
     )
 
 
@@ -480,49 +543,115 @@ def simhash_bands(
         raise ValueError("bits_per_band > 60 does not fit an exact int64 band")
     w_total = bits_per_band * n_bands
     n_chunks = -(-w_total // 60)
-    # per-doc token dedup narrowly via array_distinct (see shingles)
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(F.split(F.trim(normalized(F.col(text_col))), r"\s+"))
-        ).alias("tok"),
+
+    # Execution (r06, guide §4.2): the v1 plan exploded per-doc
+    # distinct tokens and ran W SUM(CASE(shiftright)) aggregates —
+    # W x |token rows| JVM expression evaluations plus a groupBy(id)
+    # shuffle, and every occurrence of a token across the corpus paid
+    # its own md5. Replaced by ONE mapInArrow kernel: normalization
+    # (lower + whitespace collapse + trim) stays in the JVM — Python
+    # only splits on the single spaces the JVM already collapsed to —
+    # and the per-token 60-bit md5 chunk values are cached per task
+    # (vocabulary-sized, so a token is hashed once per task, not once
+    # per occurrence). Per-bit +/-1 sums become one uint8 gather +
+    # segmented reduce in numpy. Everything is INTEGER arithmetic on
+    # the same md5 chunks (hashlib md5 == JVM md5 on the UTF-8 bytes;
+    # int(hex, 16) == conv(substring, 16, 10)), so the signatures are
+    # bit-identical to the v1 aggregation — pinned by the unchanged
+    # DuckDB oracles. Measured 32s -> ~4s on the sf1.0 bench
+    # (dedup_simhash), and the signature build no longer shuffles.
+    import numpy as np
+    import pyarrow as pa
+
+    bit_idx = np.arange(60, dtype=np.uint64)
+    band_shift = [
+        (1 << np.arange(bits_per_band, dtype=np.int64)) for _ in range(1)
+    ][0]
+
+    def gen(batches):
+        import hashlib
+
+        vocab: dict[str, int] = {}
+        cap = 4096
+        vmat = np.empty((cap, w_total), dtype=np.uint8)
+
+        def token_row(t: str) -> int:
+            nonlocal cap, vmat
+            j = len(vocab)
+            if j >= cap:
+                cap *= 2
+                grown = np.empty((cap, w_total), dtype=np.uint8)
+                grown[:j] = vmat[:j]
+                vmat = grown
+            bs = t.encode("utf-8")
+            vals = []
+            hex0 = None
+            for c in range(n_chunks):
+                if c == 0:
+                    hex0 = hashlib.md5(bs).hexdigest()
+                    vals.append(int(hex0[0:15], 16))
+                elif c == 1:
+                    vals.append(int(hex0[15:30], 16))
+                else:
+                    vals.append(
+                        int(hashlib.md5(b"simhash%d:" % c + bs).hexdigest()[0:15], 16)
+                    )
+            bits = (
+                (np.array(vals, dtype=np.uint64)[:, None] >> bit_idx) & 1
+            ).astype(np.uint8).reshape(-1)[:w_total]
+            vmat[j] = bits
+            vocab[t] = j
+            return j
+
+        schema = pa.schema(
+            [("id", pa.int64())] + [(f"sig_{b}", pa.int64()) for b in range(n_bands)]
+        )
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = batch.column("id").to_numpy(zero_copy_only=False)
+            texts = batch.column("_norm").to_pylist()
+            flat: list[int] = []
+            counts: list[int] = []
+            keep: list[int] = []
+            get = vocab.get
+            for i, s in zip(ids, texts):
+                if s is None:
+                    continue  # v1: explode(null array) dropped the doc
+                toks = set(s.split(" "))
+                for t in toks:
+                    j = get(t)
+                    flat.append(token_row(t) if j is None else j)
+                counts.append(len(toks))
+                keep.append(i)
+            if not keep:
+                continue
+            n = np.array(counts, dtype=np.int64)
+            bounds = np.zeros(len(counts), dtype=np.intp)
+            np.cumsum(n[:-1], out=bounds[1:])
+            gathered = vmat[np.array(flat, dtype=np.intp)]
+            c = np.add.reduceat(gathered.astype(np.int64), bounds, axis=0)
+            # sum of +/-1 over tokens = 2*set_count - n; bit = sum > 0
+            bits = (2 * c) > n[:, None]
+            arrays = [pa.array(np.array(keep, dtype=np.int64), pa.int64())]
+            for b in range(n_bands):
+                sig = (
+                    bits[:, b * bits_per_band : (b + 1) * bits_per_band].astype(np.int64)
+                    * band_shift
+                ).sum(axis=1)
+                arrays.append(pa.array(sig, pa.int64()))
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    out_schema = "id long, " + ", ".join(f"sig_{b} long" for b in range(n_bands))
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            normalized(F.col(text_col)).alias("_norm"),
+        )
+        .repartition(spread)
+        .mapInArrow(gen, out_schema)
     )
-    # project the chunk hashes ONCE: referencing the md5 chain inside
-    # all W aggregate expressions evaluates it per bit per row (Wx the
-    # hashing work) — same value, one evaluation per chunk
-    tok = F.col("tok")
-
-    def chunk(c: int) -> Column:
-        if c == 0:
-            src, lo = F.md5(tok), 1
-        elif c == 1:
-            src, lo = F.md5(tok), 16
-        else:
-            src, lo = F.md5(F.concat(F.lit(f"simhash{c}:"), tok)), 1
-        return F.conv(F.substring(src, lo, 15), 16, 10).cast("long")
-
-    hs = toks.select("id", *[chunk(c).alias(f"h{c}") for c in range(n_chunks)])
-    aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col(f"h{j // 60}"), j % 60).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        ).alias(f"b{j}")
-        for j in range(w_total)
-    ]
-    per_bit = hs.groupBy("id").agg(*aggs)
-    band_cols = []
-    for b in range(n_bands):
-        sig = None
-        for w in range(bits_per_band):
-            j = b * bits_per_band + w
-            bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            term = bit * F.lit(1 << w).cast("long")
-            sig = term if sig is None else sig + term
-        band_cols.append(sig.alias(f"sig_{b}"))
-    return per_bit.select("id", *band_cols)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -1465,20 +1594,26 @@ def line_dedup(
     counts content segments only; a doc with no surviving content
     drops, blank lines and all).
 
-    Returns (id, text_rebuilt, n_kept, n_orig). Scale shape: one
+    Returns (id, text_rebuilt, n_kept, n_orig). Scale shape (r06): one
     posexplode projection (narrow), ONE groupBy(seg) shuffle with full
     map-side partial aggregation (min of (id,pos) packed into one
     int64, so the combine is a primitive-buffer HashAggregate — a
     viral segment reduces to one row per map partition before the
     exchange; a struct min would silently fall back to SortAggregate
-    and sort every map partition's exploded rows),
-    one hash join back on seg (1 row per firsts side — linear output
-    even for viral segments, AQE skew-split eligible), and one
-    groupBy(id) rebuild whose collect_list is bounded by document
-    length. Nothing quadratic, nothing driver-side, no window over a
-    skewed partition (the min-struct groupBy replaces the row_number
-    window precisely because partial aggregation absorbs hot segments
-    where a window would sort them in one task).
+    and sort every map partition's exploded rows). The content
+    survivors ARE that aggregation's output — first_mkey unpacks
+    straight back to (id, pos) — so there is NO join back on segment
+    strings at all (the r05 probe join re-shuffled the whole exploded
+    corpus by seg and needed blank-key salting for the "" hot key;
+    both are gone). Blank rows (kept unconditionally by contract)
+    come from a narrow side leg: a trivial trim()=='' filter in
+    k-word mode, a pre-explode array filter in delim mode. The
+    groupBy(id) rebuild runs over SURVIVORS only, and n_orig joins in
+    from a split-size-only projection (no segment strings built).
+    Nothing quadratic, nothing driver-side, no window over a skewed
+    partition (the min-key groupBy replaces the row_number window
+    precisely because partial aggregation absorbs hot segments where
+    a window would sort them in one task).
 
     Packing domain (cheap attribute check on the exploded rows,
     raising on violation rather than silently corrupting
@@ -1512,15 +1647,8 @@ def line_dedup(
             F.split(F.col(text_col), _re.escape(delim)).alias("_segs"),
         )
         join_delim = delim
-    # n_orig = segment count is known BEFORE the explode (array size
-    # of the materialized _segs column — NOT a second evaluation of
-    # the segmentation expression, which costs a full re-split per
-    # doc: measured 3.5x on the sf0.1 noop-write bench), so it rides
-    # the exploded rows as a per-id constant instead of costing a
-    # third text scan + its own groupBy + join-back branch
     segs = seg_base.select(
         "id",
-        F.size("_segs").cast("long").alias("n_orig"),
         F.posexplode("_segs").alias("pos", "seg"),
     )
     # (id, pos) packed into ONE int64 so min() gets a primitive agg
@@ -1540,67 +1668,90 @@ def line_dedup(
         & (F.col("id") < F.lit(1 << (63 - _LD_POS_BITS)))
         & (F.col("pos") < F.lit(1 << _LD_POS_BITS))
     )
-    segs = segs.withColumn(
-        "mkey",
-        F.when(ok, F.shiftleft(F.col("id"), _LD_POS_BITS) + F.col("pos")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "line_dedup packing domain violated (need 0 <= id < "
-                        f"2^{63 - _LD_POS_BITS} and < {1 << _LD_POS_BITS} "
-                        "segments/doc): id="
-                    ),
-                    F.col("id").cast("string"),
-                    F.lit(", pos="),
-                    F.col("pos").cast("string"),
-                )
+    mkey = F.when(ok, F.shiftleft(F.col("id"), _LD_POS_BITS) + F.col("pos")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "line_dedup packing domain violated (need 0 <= id < "
+                    f"2^{63 - _LD_POS_BITS} and < {1 << _LD_POS_BITS} "
+                    "segments/doc): id="
+                ),
+                F.col("id").cast("string"),
+                F.lit(", pos="),
+                F.col("pos").cast("string"),
             )
-        ),
+        )
     )
+    # Survivor selection (r06, guide §2.4 remove shuffles outright):
+    # the content survivors ARE the firsts aggregation's output — the
+    # min (id, pos) per segment unpacks straight back to the kept row,
+    # so the v1 probe-side join (which re-exploded the whole corpus
+    # and shuffled every segment STRING a second time as the join key,
+    # plus blank-key salting machinery to spread the "" hot key) is
+    # gone entirely. Blank rows are kept unconditionally by contract,
+    # so they never needed the join either: a narrow second pass
+    # explodes ONLY the blank positions (the array is filtered before
+    # posexplode — the segmentation is still evaluated, but the
+    # explode materializes a handful of rows instead of the corpus).
+    # Plan: one groupBy(seg) shuffle over the exploded segments (the
+    # irreducible global first-occurrence decision), a union of the
+    # unpacked firsts with the blank rows, one groupBy(id) rebuild
+    # over SURVIVORS only (v1 rebuilt from the full probe join
+    # output), and one join against the narrow per-doc segment-count
+    # table (split only — no segment strings built) for n_orig.
     firsts = (
         segs.filter(F.col("seg") != "")
+        .select("seg", mkey.alias("mkey"))
         .groupBy("seg")
         .agg(F.min("mkey").alias("first_mkey"))
     )
-    # Single-pass keep (both modes): left-join firsts onto ALL
-    # segments — content rows keep iff they ARE the first occurrence,
-    # blank rows (structure: blank lines, trailing newlines) are kept
-    # in place unconditionally. This replaces the r04 union leg that
-    # re-evaluated the split+posexplode subtree for the blank rows:
-    # the segmentation is now evaluated exactly twice (probe side +
-    # firsts partials), same as k-word mode, instead of three times.
-    # Blank rows carry a SALTED never-matching join key so the ""
-    # hot key (at corpus scale blank lines are a few percent of all
-    # segments) spreads over 64 shuffle partitions instead of
-    # concentrating in one; firsts holds content segments only, so
-    # the salted keys find no match and blanks come back with null
-    # first_mkey. Even a pathological corpus segment that collides
-    # with the salt literal cannot flip a decision: firsts is unique
-    # per seg (no row explosion) and the filter keeps blank rows
-    # unconditionally. In k-word mode a blank segment can only come
-    # from an empty/whitespace-only doc, which drops regardless via
-    # the n_kept > 0 filter — one code path serves both modes.
-    jkey = F.when(
-        F.col("seg") == "",
-        F.concat(
-            F.lit("\x00blank\x00"),
-            F.pmod(F.col("mkey"), F.lit(64)).cast("string"),
-        ),
-    ).otherwise(F.col("seg"))
-    kept = (
-        segs.withColumn("_jk", jkey)
-        .join(firsts.withColumnRenamed("seg", "_jk"), "_jk", "left")
-        .filter((F.col("seg") == "") | (F.col("mkey") == F.col("first_mkey")))
-        .select(
+    content_kept = firsts.select(
+        F.shiftright(F.col("first_mkey"), _LD_POS_BITS).alias("id"),
+        (F.col("first_mkey") % F.lit(1 << _LD_POS_BITS)).cast("int").alias("pos"),
+        "seg",
+        F.lit(1).alias("is_content"),
+    )
+    if words_per_segment is not None:
+        # k-word mode invariant (docstring): tokens from a \s+ split of
+        # trimmed text are non-empty except for the empty/ws-only doc,
+        # whose single segment is '' at pos 0 — so the blank leg is a
+        # trivial filter, no second segmentation evaluation at all
+        blanks = docs.filter(F.trim(F.col(text_col)) == "").select(
+            F.col(id_col).cast("long").alias("id"),
+            F.lit(0).alias("pos"),
+            F.lit("").alias("seg"),
+            F.lit(0).alias("is_content"),
+        )
+    else:
+        blank_pos = F.filter(
+            F.transform(
+                F.col("_segs"), lambda s, i: F.when(s == "", i).otherwise(F.lit(-1))
+            ),
+            lambda x: x >= 0,
+        )
+        blanks = seg_base.select("id", F.explode(blank_pos).alias("pos")).select(
             "id",
             "pos",
-            "seg",
-            "n_orig",
-            (F.col("seg") != "").cast("int").alias("is_content"),
+            F.lit("").alias("seg"),
+            F.lit(0).alias("is_content"),
         )
-    )
-    return (
-        kept.groupBy("id")
+    # n_orig needs only the segment COUNT — token count in k-word
+    # mode, split size in delim mode — never the segment strings
+    if words_per_segment is not None:
+        n_orig_src = docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.ceil(
+                F.size(F.split(F.trim(F.col(text_col)), r"\s+")) / F.lit(float(k))
+            ).cast("long").alias("n_orig"),
+        )
+    else:
+        n_orig_src = docs.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.size(F.split(F.col(text_col), _re.escape(delim))).cast("long").alias("n_orig"),
+        )
+    rebuilt = (
+        content_kept.unionByName(blanks)
+        .groupBy("id")
         .agg(
             F.array_join(
                 F.transform(
@@ -1610,10 +1761,11 @@ def line_dedup(
                 join_delim,
             ).alias(text_col),
             F.sum("is_content").cast("long").alias("n_kept"),
-            F.first("n_orig").alias("n_orig"),
         )
         .filter(F.col("n_kept") > 0)
-        .select(F.col("id").alias(id_col), text_col, "n_kept", "n_orig")
+    )
+    return rebuilt.join(n_orig_src, "id").select(
+        F.col("id").alias(id_col), text_col, "n_kept", "n_orig"
     )
 
 

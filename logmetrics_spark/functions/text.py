@@ -265,17 +265,62 @@ def with_repetition_features(
     )
     if not include_bigrams:
         return base.drop("_toks")
-    bigrams = F.expr(
-        "zip_with(slice(_toks, 1, size(_toks) - 1),"
-        " slice(_toks, 2, size(_toks) - 1), (a, b) -> concat(a, ' ', b))"
-    )
+
+    # Bigram stats (r06, guide §4.2): the v1 plan exploded a concat-
+    # built bigram string per token pair and ran two groupBy shuffles
+    # ((id, bigram) then (id)) before joining back. But max-bigram-
+    # count and bigram-total are PER-DOCUMENT quantities — one
+    # mapInArrow pass over the JVM-normalized text computes them with
+    # a per-doc Counter and emits only integers (id, max_bg, n_bg):
+    # zero shuffle, no bigram strings ever materialized, and the float
+    # division + round stay in the JVM exactly as before, so values
+    # are bit-identical. Python tokenization is a plain split(' ')
+    # because the JVM already collapsed whitespace runs (ws_norm).
+    import pyarrow as pa
+
+    def bg_gen(batches):
+        schema = pa.schema(
+            [("id", pa.int64()), ("_max_bg", pa.int64()), ("_n_bg", pa.int64())]
+        )
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            texts = batch.column("_norm").to_pylist()
+            out_id: list[int] = []
+            out_max: list[int] = []
+            out_n: list[int] = []
+            for i, s in zip(ids, texts):
+                if s is None:
+                    continue
+                toks = s.split(" ")
+                if len(toks) < 2:
+                    continue  # v1: where(size >= 2) left these null
+                counts: dict[tuple[str, str], int] = {}
+                prev = toks[0]
+                for t in toks[1:]:
+                    key = (prev, t)
+                    counts[key] = counts.get(key, 0) + 1
+                    prev = t
+                out_id.append(i)
+                out_max.append(max(counts.values()))
+                out_n.append(len(toks) - 1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_max, pa.int64()),
+                    pa.array(out_n, pa.int64()),
+                ],
+                schema=schema,
+            )
+
+    spread = df.sparkSession.sparkContext.defaultParallelism
     bg = (
-        base.where(F.size("_toks") >= 2)
-        .select(id_col, F.explode(bigrams).alias("bigram"))
-        .groupBy(id_col, "bigram")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("_max_bg"), F.sum("c").alias("_n_bg"))
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            ws_norm(F.lower(c)).alias("_norm"),
+        )
+        .repartition(spread)
+        .mapInArrow(bg_gen, "id long, _max_bg long, _n_bg long")
+        .withColumnRenamed("id", id_col)
     )
     return (
         base.join(bg, id_col, "left")
