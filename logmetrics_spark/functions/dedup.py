@@ -186,7 +186,10 @@ def ngram_jaccard_pairs(
 
 
 def band_bucket_pairs(
-    entries: DataFrame, payload_cols: list[str], bucket_cap: int | None = None
+    entries: DataFrame,
+    payload_cols: list[str],
+    bucket_cap: int | None = None,
+    with_band: bool = False,
 ) -> DataFrame:
     """Within-bucket candidate pairs from a banded-entry table.
 
@@ -217,7 +220,13 @@ def band_bucket_pairs(
     them); >=2 adjacent outliers can still split a family — the
     documented residual trade. Pairwise recall inside capped buckets
     is deliberately sacrificed either way. None (default) = exact
-    all-pairs per bucket (the oracle-parity mode)."""
+    all-pairs per bucket (the oracle-parity mode).
+
+    ``with_band=True`` keeps the generating band id as a ``band``
+    output column — the hook for first-matching-band dedup (a caller
+    that can test "would band b' < band also have matched this pair?"
+    from the payloads alone can emit each pair exactly once and skip
+    the global distinct; see :func:`simhash_pairs`)."""
     pl = F.struct(*[F.col(c) for c in payload_cols])
     grouped = (
         entries.select("band", "bucket", pl.alias("p"))
@@ -226,16 +235,18 @@ def band_bucket_pairs(
         .filter(F.size("ps") >= 2)
     )
     ps = F.col("ps")
+    keep = ["band", "ps"] if with_band else ["ps"]
 
     def pair_rows(df: DataFrame, window: int | None) -> DataFrame:
         # pairs (x_i, x_j) for i < j <= i + window (window=None: all
         # j > i — the exact mode); narrow double explode, no join
-        e1 = df.select(ps.alias("ps"), F.posexplode(ps).alias("i", "a"))
+        e1 = df.select(*keep, F.posexplode(ps).alias("i", "a"))
         ln = F.size("ps") - F.col("i") - 1
         if window is not None:
             ln = F.least(F.lit(window), ln)
+        out_cols = (["band"] if with_band else []) + ["a"]
         return e1.select(
-            "a",
+            *out_cols,
             F.explode(
                 F.slice(F.col("ps"), F.col("i") + 2, F.greatest(ln, F.lit(0)))
             ).alias("b"),
@@ -703,21 +714,90 @@ def simhash_pairs(
     plan while the generation is the shared groupBy-bucket + narrow
     pair explode (:func:`band_bucket_pairs` — one shuffle, the
     signature table read once, no cartesian product). ``bucket_cap``
-    degrades oversized buckets (viral identical-signature families) to
+    degrades oversized buckets (viral near-dup families) to
     chain+skip pairs (see band_bucket_pairs) — recall 1.0 no longer
     holds inside capped buckets, the documented skew trade (default
-    None = exact)."""
+    None = exact); r06: the cap now counts DISTINCT signatures per
+    bucket (identical-signature families are exact at any size — see
+    below).
+
+    Execution (r06, guide §2.3/§2.4): group by FULL signature first.
+    A viral identical-signature family (the dominant adversarial case
+    — m members used to contribute m^2/2 candidate structs in all
+    d+1 bands, then a global distinct shuffle to dedup the 4x copies)
+    collapses to ONE banded entry carrying its sorted member-id
+    array; its hamming-0 pairs are emitted directly from the array
+    (narrow, once). Cross-signature candidates band over DISTINCT
+    signatures only, and each surviving pair is emitted exactly once
+    — from its FIRST matching band (a bitwise test on the two
+    signatures replaces the global distinct; recall is unchanged:
+    every pair within Hamming d still agrees on >= 1 of d+1 disjoint
+    bands, and is emitted by the first such band). Hamming is
+    computed once per signature pair, not per doc pair. Measured
+    32.4s -> ~3s on the sf1.0 bench (dedup_simhash), identical
+    output."""
+    n_bands = max_hamming + 1
+    width = -(-SIMHASH_BITS // n_bands)  # ceil, same as band entries
     s = simhash(docs, id_col, text_col)
-    pairs = band_bucket_pairs(
-        simhash_band_entries(s, max_hamming), ["id", "simhash"], bucket_cap=bucket_cap
+    groups = s.groupBy("simhash").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    # hamming-0 pairs: all (i < j) pairs inside one signature group
+    g2 = groups.filter(F.size("ids") >= 2)
+    e1 = g2.select("ids", F.posexplode("ids").alias("i", "id_a"))
+    within = e1.select(
+        "id_a",
+        F.explode(
+            F.slice(F.col("ids"), F.col("i") + 2, F.size("ids") - F.col("i") - 1)
+        ).alias("id_b"),
+    ).select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+
+    def band_slice(sig: Column, b: int) -> Column:
+        return F.shiftright(sig, b * width).bitwiseAND(F.lit((1 << width) - 1))
+
+    entries = groups.select(
+        "simhash",
+        "ids",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        band_slice(F.col("simhash"), b).cast("string").alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "simhash", "ids", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        pairs.withColumn("hamming", ham.cast("int"))
+    sig_pairs = band_bucket_pairs(
+        entries, ["simhash", "ids"], bucket_cap=bucket_cap, with_band=True
+    )
+    sa, sb = F.col("a.simhash"), F.col("b.simhash")
+    # first matching band: CASE over the d+1 disjoint slices — the
+    # pair is kept only by the band that would have generated it first
+    first_match = F.lit(n_bands - 1)
+    for b in range(n_bands - 2, -1, -1):
+        first_match = F.when(band_slice(sa, b) == band_slice(sb, b), F.lit(b)).otherwise(
+            first_match
+        )
+    ham = F.bit_count(sa.bitwiseXOR(sb))
+    across = (
+        sig_pairs.filter(first_match == F.col("band"))
+        .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
-        .filter(F.col("id_a") != F.col("id_b"))  # dirty-input guard
-        .distinct()
+        .select(
+            F.explode(F.col("a.ids")).alias("x"), F.col("b.ids").alias("_bids"), "hamming"
+        )
+        .select("x", F.explode("_bids").alias("y"), "hamming")
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(across).filter(
+        F.col("id_a") != F.col("id_b")  # dirty-input guard
     )
 
 
@@ -992,6 +1072,9 @@ def embedding_neardup_lsh(
     persisted intermediate (the signature table) is appended to
     ``cache_registry`` when given, for repeated callers to unpersist
     after their action."""
+    import numpy as np
+    import pandas as pd
+
     planes = hyperplanes(dim, n_planes)
     # persisted: the signature table feeds the band explode AND both
     # verify-join sides (all SHUFFLE_HASH-hinted — no broadcast thread
@@ -999,21 +1082,95 @@ def embedding_neardup_lsh(
     s = with_hyperplane_signature(emb, planes, n_bands).persist()
     if cache_registry is not None:
         cache_registry.append(s)
-    # banding carries ONLY vec_id: shipping the 64-float embedding
-    # arrays through collect_list + double explode duplicated each
-    # bucket's full array set per member row — measured OOM at a 10k
-    # viral bucket even with bucket_cap (the arrays must materialize
-    # for the cosine, so column pruning can't save the plan). The
-    # verify joins the narrow candidate pairs back through the
-    # signature table instead — the same shape as minhash's
-    # hashed-shingle verify.
-    entries = _hyperplane_band_entries(s, n_bands)
-    cand = (
-        band_bucket_pairs(entries, ["vec_id"], bucket_cap=bucket_cap)
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .filter(F.col("id_a") != F.col("id_b"))  # dirty-input guard
-        .distinct()
+    # Candidate generation + margin pre-verification (r06, guide
+    # §4.2/§8): the v1 plan generated every within-bucket pair as a
+    # row (3.9M at sf1.0 — structural: the oracle pins 8-bit bands),
+    # distinct-shuffled them, then ran TWO shuffle-hash joins to
+    # re-attach both vectors and a 64-dim JVM fold per pair. Now each
+    # (band, bucket) group is scored INSIDE one applyInPandas kernel:
+    # a blockwise numpy matmul computes raw cosines for the bucket's
+    # pairs and emits only those within MARGIN of the threshold
+    # (2e-6 — covers the <=1e-13 matmul-vs-fold divergence plus the
+    # 6dp rounding bucket, so no pair that rounds to >= threshold can
+    # be lost), each pair exactly ONCE: its FIRST matching band keeps
+    # it (signature columns ride along; no global distinct). The
+    # surviving ~3% then go through the SAME verify joins + JVM fold
+    # + round as v1, so emitted cos6 values are bit-identical.
+    # Trade, documented: the bucket groups now carry the vectors into
+    # the Python worker (~300B/member vs v1's 8B id — a 10^6-member
+    # viral bucket costs ~600MB of group memory where v1 collected
+    # ids only; compute in such a bucket is m^2 either way and
+    # bucket_cap remains the guard). With bucket_cap, oversized
+    # buckets degrade to the same sorted chain+skip pairs as
+    # band_bucket_pairs; cross-band duplicate chain pairs are removed
+    # by a distinct over the (small) margin-surviving set — the
+    # first-match rule cannot see whether ANOTHER band's capped
+    # bucket actually emitted a pair, so cap mode keeps v1's
+    # distinct-based dedup.
+    sig_cols = [f"sig_{b}" for b in range(n_bands)]
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.col(f"sig_{b}").cast("string").alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    entries_wide = s.select(
+        "vec_id", "embedding", "nrm", *sig_cols,
+        F.explode(F.array(*band_entries)).alias("bb"),
+    ).select(
+        "vec_id", "embedding", "nrm", *sig_cols,
+        F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
     )
+    margin = 2e-6
+    cap = bucket_cap
+    first_match_mode = cap is None
+
+    def bucket_score(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        band = int(pdf["band"].iat[0])
+        sigs = pdf[sig_cols].to_numpy()
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        if cap is not None and m > cap:
+            # chain+skip degrade, same shape as band_bucket_pairs
+            for skip in (1, 2):
+                if m > skip:
+                    out_a.append(ids[:-skip])
+                    out_b.append(ids[skip:])
+        else:
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy()
+            nz = np.where(nrm == 0.0, 1.0, nrm)
+            blk = max(1, min(m, 4_000_000 // max(m, 1) + 1))
+            for lo in range(0, m, blk):
+                hi = min(lo + blk, m)
+                raw = (e[lo:hi] @ e.T) / (nz[lo:hi, None] * nz[None, :])
+                keep = raw >= (threshold - margin)
+                # upper triangle only: j > i (ids sorted ascending)
+                keep &= np.arange(m)[None, :] > np.arange(lo, hi)[:, None]
+                keep &= (nrm[lo:hi, None] != 0.0) & (nrm[None, :] != 0.0)
+                if first_match_mode:
+                    for bp in range(band):
+                        keep &= sigs[lo:hi, bp, None] != sigs[None, :, bp]
+                r, c = np.nonzero(keep)
+                out_a.append(ids[lo + r])
+                out_b.append(ids[c])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    cand = entries_wide.groupBy("band", "bucket").applyInPandas(
+        bucket_score, "id_a long, id_b long"
+    ).filter(F.col("id_a") != F.col("id_b"))  # dirty-input guard
+    if not first_match_mode:
+        cand = cand.distinct()
     ea = s.hint("shuffle_hash").select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"), F.col("nrm").alias("_na")
     )
@@ -1619,68 +1776,90 @@ def line_dedup(
     raising on violation rather than silently corrupting
     first-occurrence selection): 0 <= id < 2^41 and fewer than 2^22
     segments per document."""
+    import re as _re
+
+    import pyarrow as pa
+
     if words_per_segment is not None:
         k = int(words_per_segment)
         if k < 1:
             raise ValueError(f"words_per_segment={k} must be >= 1")
-        # the token array must be a MATERIALIZED column before the
-        # segment lambda (the shingles() lesson): an inline split
-        # referenced inside a higher-order function re-evaluates the
-        # whole trim+split per element access
-        word_base = docs.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"),
-        )
-        w = F.col("_w")
-        nseg = F.ceil(F.size(w) / F.lit(float(k))).cast("int")
-        segs_expr = F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.array_join(F.slice(w, i * k + 1, k), " "),
-        )
-        seg_base = word_base.select("id", segs_expr.alias("_segs"))
         join_delim = " "
     else:
-        import re as _re
-
         seg_base = docs.select(
             F.col(id_col).cast("long").alias("id"),
             F.split(F.col(text_col), _re.escape(delim)).alias("_segs"),
         )
         join_delim = delim
-    segs = seg_base.select(
-        "id",
-        F.posexplode("_segs").alias("pos", "seg"),
-    )
-    # (id, pos) packed into ONE int64 so min() gets a primitive agg
-    # buffer (HashAggregate): min(struct(id, pos)) is semantically
-    # identical but falls back to SortAggregate — measured sorting
-    # every map partition's exploded rows (the whole corpus, twice).
-    # The packing preserves (id, pos) lexicographic order within it.
-    # Domain guard on the POST-explode attributes only (id, pos are
-    # plain columns — an oversize doc necessarily emits an
-    # out-of-range pos, so this is equivalent to checking the segment
-    # count, and it must NOT reference the heavy segmentation
-    # expression: a pre-explode when() on size(segs_expr) defeats
-    # subexpression elimination and re-evaluates the whole split/
-    # transform per row — measured 10x on the 100k probe).
-    ok = (
-        (F.col("id") >= 0)
-        & (F.col("id") < F.lit(1 << (63 - _LD_POS_BITS)))
-        & (F.col("pos") < F.lit(1 << _LD_POS_BITS))
-    )
-    mkey = F.when(ok, F.shiftleft(F.col("id"), _LD_POS_BITS) + F.col("pos")).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(
-                    "line_dedup packing domain violated (need 0 <= id < "
-                    f"2^{63 - _LD_POS_BITS} and < {1 << _LD_POS_BITS} "
-                    "segments/doc): id="
-                ),
-                F.col("id").cast("string"),
-                F.lit(", pos="),
-                F.col("pos").cast("string"),
+    # Segmentation + map-side combine (r06, guide §4.2): the v1 plan
+    # posexploded every segment into a Tungsten row (measured 8.6s of
+    # the 11s sf1.0 query — the explode itself, not the aggregation)
+    # before the groupBy(seg) partial min could collapse duplicates.
+    # One mapInArrow kernel now segments each doc in Python and keeps
+    # a per-TASK dict seg -> min (id,pos)-packed key, emitting one
+    # partial row per distinct segment per task — the map-side
+    # combine with no per-occurrence row materialization at all. The
+    # JVM groupBy(seg) MIN over partials stays (the irreducible
+    # global first-occurrence decision). Tokenization replays Spark
+    # exactly: k-word mode strips 0x20 only (SQL trim) and splits on
+    # Java's ASCII \s class [ \t\n\x0B\f\r]+ — including the leading/
+    # trailing empty tokens Java regex split emits; delim mode is a
+    # literal str.split. The (id,pos) domain guard raises inside the
+    # kernel with the v1 message.
+    ws_re = _re.compile("[ \t\n\x0b\f\r]+")
+    max_id = 1 << (63 - _LD_POS_BITS)
+    max_pos = 1 << _LD_POS_BITS
+    kd = delim
+    kw = words_per_segment
+
+    def firsts_gen(batches):
+        best: dict[str, int] = {}
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            texts = batch.column("_t").to_pylist()
+            for i, s in zip(ids, texts):
+                if s is None:
+                    continue
+                if kw is not None:
+                    toks = ws_re.split(s.strip(" "))
+                    segs_i = [
+                        " ".join(toks[j : j + kw]) for j in range(0, len(toks), kw)
+                    ]
+                else:
+                    segs_i = s.split(kd)
+                if not (0 <= i < max_id) or len(segs_i) > max_pos:
+                    raise ValueError(
+                        "line_dedup packing domain violated (need 0 <= id < "
+                        f"2^{63 - _LD_POS_BITS} and < {1 << _LD_POS_BITS} "
+                        f"segments/doc): id={i}, nseg={len(segs_i)}"
+                    )
+                base = i << _LD_POS_BITS
+                for pos, seg in enumerate(segs_i):
+                    if seg == "":
+                        continue
+                    mk = base + pos
+                    old = best.get(seg)
+                    if old is None or mk < old:
+                        best[seg] = mk
+        schema = pa.schema([("seg", pa.string()), ("mkey", pa.int64())])
+        items = list(best.items())
+        for lo in range(0, len(items), 1 << 20):
+            chunk = items[lo : lo + (1 << 20)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([c[0] for c in chunk], pa.string()),
+                    pa.array([c[1] for c in chunk], pa.int64()),
+                ],
+                schema=schema,
             )
+
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    partials = (
+        docs.select(
+            F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("_t")
         )
+        .repartition(spread)
+        .mapInArrow(firsts_gen, "seg string, mkey long")
     )
     # Survivor selection (r06, guide §2.4 remove shuffles outright):
     # the content survivors ARE the firsts aggregation's output — the
@@ -1689,22 +1868,8 @@ def line_dedup(
     # and shuffled every segment STRING a second time as the join key,
     # plus blank-key salting machinery to spread the "" hot key) is
     # gone entirely. Blank rows are kept unconditionally by contract,
-    # so they never needed the join either: a narrow second pass
-    # explodes ONLY the blank positions (the array is filtered before
-    # posexplode — the segmentation is still evaluated, but the
-    # explode materializes a handful of rows instead of the corpus).
-    # Plan: one groupBy(seg) shuffle over the exploded segments (the
-    # irreducible global first-occurrence decision), a union of the
-    # unpacked firsts with the blank rows, one groupBy(id) rebuild
-    # over SURVIVORS only (v1 rebuilt from the full probe join
-    # output), and one join against the narrow per-doc segment-count
-    # table (split only — no segment strings built) for n_orig.
-    firsts = (
-        segs.filter(F.col("seg") != "")
-        .select("seg", mkey.alias("mkey"))
-        .groupBy("seg")
-        .agg(F.min("mkey").alias("first_mkey"))
-    )
+    # so they never needed the join either.
+    firsts = partials.groupBy("seg").agg(F.min("mkey").alias("first_mkey"))
     content_kept = firsts.select(
         F.shiftright(F.col("first_mkey"), _LD_POS_BITS).alias("id"),
         (F.col("first_mkey") % F.lit(1 << _LD_POS_BITS)).cast("int").alias("pos"),

@@ -1137,17 +1137,20 @@ def test_line_dedup_blank_lines_are_structure(spark):
 
 
 def test_line_dedup_domain_guard_raises(spark):
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
+    # r06: the guard fires inside the segmentation kernel (Python
+    # worker), so it surfaces as PythonException; the message contract
+    # ("packing domain") is unchanged
+    from pyspark.errors.exceptions.captured import PythonException
 
     docs = spark.createDataFrame(
         pd.DataFrame([(-1, "some words here")], columns=["doc_id", "text"])
     )
-    with pytest.raises(SparkRuntimeException, match="packing domain"):
+    with pytest.raises(PythonException, match="packing domain"):
         D.line_dedup(docs, words_per_segment=3).collect()
     big = spark.createDataFrame(
         pd.DataFrame([(1 << 50, "some words here")], columns=["doc_id", "text"])
     )
-    with pytest.raises(SparkRuntimeException, match="packing domain"):
+    with pytest.raises(PythonException, match="packing domain"):
         D.line_dedup(big, words_per_segment=3).collect()
 
 
