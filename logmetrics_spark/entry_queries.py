@@ -1526,12 +1526,19 @@ def q_multimodal_decode(spark, sf_dir):
 
 def _fake_media(spark, sf_dir):
     """documents.doc_id -> (media_id, payload) with deterministic
-    LMIMG fake payloads (shared by the three multimodal entries)."""
+    LMIMG fake payloads (shared by the three multimodal entries).
+    Repartitioned to the session parallelism (r06): the documents
+    scan is one input split at bench scale, so the whole payload-gen
+    + decode kernel chain otherwise runs in a single task."""
     import pandas as _pd
 
     from .functions import multimodal as M
 
-    ids = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("media_id"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def gen(batches):
         for pdf in batches:

@@ -191,18 +191,20 @@ def assign_cells(
         for pdf in batches:
             if pdf.empty:
                 continue
-            e = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            # np.stack over the object column + object-array .repeat
+            # (pointer copies) replace the tolist()/per-row list
+            # rebuild of v1 — same values, no per-row Python
+            e = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(e, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             cos = np.round((e / norms) @ cn.T, 6)
             # top-p by (cos desc, c_id asc): c_ids are sorted asc, and
             # stable argsort on -cos keeps the lower c_id first on ties
             order = np.argsort(-cos, axis=1, kind="stable")[:, :p]
-            n = len(pdf)
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(pdf[id_col].to_numpy(), p),
-                    vec_col: [v for v in pdf[vec_col] for _ in range(p)],
+                    vec_col: pdf[vec_col].to_numpy().repeat(p),
                     "cell": c_ids[order].reshape(-1),
                 }
             )
@@ -227,7 +229,13 @@ def ivf_topk(
 
     Returns (q_id, rank, vec_id, cos6) — approximate: recall vs the
     exact baseline is pinned by tests/test_functions.py."""
-    assigned = assign_cells(emb, centroids, 1, "vec_id", "embedding")
+    # spread the corpus-side assignment matmul: the parquet scan is
+    # one input split at bench scale, so without this the whole
+    # |emb| x |centroids| product runs in a single task (r06; the
+    # repartition lives HERE, not in assign_cells, whose plan is
+    # pinned Exchange-free for composability)
+    spread = emb.sparkSession.sparkContext.defaultParallelism
+    assigned = assign_cells(emb.repartition(spread), centroids, 1, "vec_id", "embedding")
     probes = assign_cells(queries, centroids, nprobe, "q_id", "q_embedding")
     scored = assigned.join(probes, "cell").filter(F.col("vec_id") != F.col("q_id"))
     scored = scored.withColumn("cos6", cosine6(F.col("embedding"), F.col("q_embedding")))

@@ -68,9 +68,13 @@ def bpe_token_count(col: Column) -> Column:
 
 
 def occurrence_count(col: Column, pattern: str) -> Column:
-    """Occurrences of a 1-char-class regex (length-difference trick —
-    portable to DuckDB, unlike regexp_count)."""
-    return (F.length(col) - F.length(F.regexp_replace(col, pattern, ""))).cast("long")
+    """Occurrences of a 1-char-class regex. r06: regexp_count replaces
+    the length-difference trick (regexp_replace allocated a stripped
+    copy of every row); for a 1-char class each match is exactly one
+    char, so the count is identical. The DuckDB oracles keep the
+    length-difference form (their regexp_count predates the 'g' flag
+    contract) — values are equal by construction."""
+    return F.regexp_count(col, F.lit(pattern)).cast("long")
 
 
 def tokens(col: Column) -> Column:
@@ -90,10 +94,20 @@ def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: lengths, ratios (length/punct/stopword)."""
     c = F.col(text_col)
     n_chars = F.length(c).cast("long")
-    n_tokens = token_count(c)
+    # n_tokens via the LOWERED normalization (value-identical: lower()
+    # preserves whitespace, so the token count is the same) so the
+    # ws_norm(lower(text)) subtree is shared with the stopword tokens
+    # below by codegen subexpression elimination — one \s+ regex pass
+    # instead of two (r06)
+    lowered = ws_norm(F.lower(c))
+    n_tokens = (
+        F.when(F.length(lowered) == 0, F.lit(0))
+        .otherwise(F.size(F.split(lowered, " ")))
+        .cast("long")
+    )
     punct = occurrence_count(c, r"[\.,;:!\?]")
     digits = occurrence_count(c, r"[0-9]")
-    stop_hits = word_hits(tokens(c), STOPWORDS_EN)  # one split, no regex
+    stop_hits = word_hits(F.split(lowered, " "), STOPWORDS_EN)  # one split, no regex
     return (
         df.withColumn("n_chars_q", n_chars)
         .withColumn("n_tokens", n_tokens)
@@ -126,13 +140,18 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     parse; token membership is also the cleaner heuristic: adjacent
     markers no longer shadow each other's shared spaces)."""
     c = F.col(text_col)
-    toks = tokens(c)
     langs = sorted(LANG_MARKERS)  # priority order on ties: alphabetical
-    # materialize the per-language scores as columns FIRST: the argmax
-    # CASE chain references each score ~2x|langs| times, and inline
-    # expressions re-evaluate per reference (see dedup.shingles)
-    scored = df.withColumns(
-        {f"_s_{lang}": word_hits(toks, LANG_MARKERS[lang]) for lang in langs}
+    # materialize the token ARRAY as a column first (r06): the four
+    # per-language score expressions each referenced the inline
+    # lower+collapse+split chain, and codegen does not always collapse
+    # the common subtree across separate projections — one split
+    # feeds all four filters via the _toks column
+    # (then the per-language scores as columns: the argmax CASE chain
+    # references each score ~2x|langs| times, and inline expressions
+    # re-evaluate per reference — see dedup.shingles)
+    with_toks = df.withColumn("_toks", tokens(c))
+    scored = with_toks.withColumns(
+        {f"_s_{lang}": word_hits(F.col("_toks"), LANG_MARKERS[lang]) for lang in langs}
     )
     scores = {lang: F.col(f"_s_{lang}") for lang in langs}
     # CASE chain (portable argmax): first lang in priority order whose
@@ -146,7 +165,9 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             elif other != lang:
                 cond = cond & (scores[lang] >= scores[other])
         expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return scored.withColumn("lang_pred", expr).drop(*[f"_s_{lang}" for lang in langs])
+    return scored.withColumn("lang_pred", expr).drop(
+        "_toks", *[f"_s_{lang}" for lang in langs]
+    )
 
 
 ROLL_B = 257
@@ -197,10 +218,12 @@ def _match_count(col: Column, pattern: str) -> Column:
     """Occurrences of an arbitrary (variable-length) regex — the
     length-difference trick only works for 1-char classes. Empty-string
     guard keeps the DuckDB mirror exact
-    (len(regexp_extract_all(x, pat)))."""
+    (len(regexp_extract_all(x, pat))). r06: regexp_count replaces
+    size(regexp_extract_all) — same non-overlapping match count, no
+    per-row match-string array materialized."""
     return (
         F.when(F.length(col) == 0, F.lit(0))
-        .otherwise(F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))))
+        .otherwise(F.regexp_count(col, F.lit(pattern)))
         .cast("long")
     )
 
@@ -386,13 +409,60 @@ def unigram_lm_scores(
     6dp so float summation order (Spark partial aggs vs the
     sequential oracle) cannot leak into equality — weighted sums of
     ~60 tokens carry ~1e-13 absolute error against a 1e-6 grid."""
+    # Per-doc pre-reduce in ONE mapInArrow kernel (r06, guide §4.2):
+    # the (id, tok) -> c_doc table used to be explode(tokens) + a
+    # groupBy(id, tok) shuffle of the full occurrence stream; the
+    # counts are per-document, so the kernel emits the already-reduced
+    # rows directly — no explode, no occurrence-granularity shuffle.
+    # Normalization (lower + whitespace collapse) stays in the JVM;
+    # Python splits on the collapsed single spaces. The table is
+    # persisted because both the vocabulary aggregation and the
+    # join-back consume it (the v1 plan shared the (id, tok) exchange
+    # via ReusedExchange; a lazy persist is the kernel-output
+    # equivalent — materialized at first action, LRU-evictable,
+    # cleared by the bench between runs). Skew contract unchanged:
+    # nothing downstream touches the token key at occurrence
+    # granularity (pinned by tests/test_functions.py's skew pin).
+    import pyarrow as pa
+
+    def doc_tok_gen(batches):
+        schema = pa.schema(
+            [("id", pa.int64()), ("tok", pa.string()), ("c_doc", pa.int64())]
+        )
+        for batch in batches:
+            ids = batch.column("id").to_pylist()
+            texts = batch.column("_norm").to_pylist()
+            out_id: list[int] = []
+            out_tok: list[str] = []
+            out_c: list[int] = []
+            for i, s in zip(ids, texts):
+                if s is None:
+                    continue
+                counts_d: dict[str, int] = {}
+                for t in s.split(" "):
+                    if t:
+                        counts_d[t] = counts_d.get(t, 0) + 1
+                out_id.extend([i] * len(counts_d))
+                out_tok.extend(counts_d.keys())
+                out_c.extend(counts_d.values())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_tok, pa.string()),
+                    pa.array(out_c, pa.int64()),
+                ],
+                schema=schema,
+            )
+
+    spread = docs.sparkSession.sparkContext.defaultParallelism
     doc_tok = (
         docs.select(
-            F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+            F.col(id_col).cast("long").alias("id"),
+            ws_norm(F.lower(F.col(text_col))).alias("_norm"),
         )
-        .filter(F.col("tok") != "")
-        .groupBy("id", "tok")
-        .agg(F.count(F.lit(1)).alias("c_doc"))
+        .repartition(spread)
+        .mapInArrow(doc_tok_gen, "id long, tok string, c_doc long")
+        .persist()
     )
     counts = doc_tok.groupBy("tok").agg(F.sum("c_doc").alias("c"))
     total = counts.agg(F.sum("c").alias("total"))

@@ -1092,29 +1092,26 @@ def test_unigram_lm_scores_known_values(spark):
 
 
 def test_unigram_lm_plan_preaggregates_before_token_join(spark):
-    """Skew pin (VERDICT r04 §1): nothing may join on the Zipf-skewed
-    token key at occurrence granularity — the executed plan must show
-    the per-doc (id, tok) pre-aggregation BELOW the token join, and
-    the doc-level exchange reused across the vocabulary/total
-    branches (one corpus scan)."""
-    import re
-
+    """Skew pin (VERDICT r04 §1, r06 kernel form): nothing may join on
+    the Zipf-skewed token key at occurrence granularity. r06 moved the
+    per-doc (id, tok, c_doc) pre-reduce into a mapInArrow kernel, so
+    the executed plan must show (a) the MapInArrow kernel (the only
+    token producer — no Generate/explode of the occurrence stream
+    exists anywhere), (b) the token join consuming the CACHED kernel
+    output on both branches (InMemoryTableScan x2 — the ReusedExchange
+    equivalent for a kernel source)."""
     rows = [(i, "the quick brown fox and the lazy dog") for i in range(64)]
     docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
     df = T.unigram_lm_scores(docs)
     df.collect()  # executes THIS QueryExecution -> AQE final plan
     s = df._jdf.queryExecution().executedPlan().toString()
-    join_at = min(
-        i
-        for i in (s.find("Join [tok"), s.find("Join tok"))
-        if i >= 0
-    ) if ("Join [tok" in s or "Join tok" in s) else s.find("Join")
-    preagg = re.search(r"HashAggregate\(keys=\[id#\d+L?, tok#\d+", s)
+    assert "MapInArrow" in s, s
+    assert "Generate" not in s, s  # no occurrence-granularity explode
+    join_at = s.find("Join [tok") if "Join [tok" in s else s.find("Join")
     assert join_at >= 0, s
-    assert preagg is not None, s
-    # tree prints children after parents: pre-agg below the join
-    assert preagg.start() > join_at, s[:join_at + 200]
-    assert s.count("ReusedExchange") >= 2, s
+    # both the vocabulary branch and the join-back branch read the
+    # cached pre-reduced table (never re-tokenize, never explode)
+    assert s.count("InMemoryTableScan") >= 2, s
 
 
 def test_line_dedup_blank_lines_are_structure(spark):
