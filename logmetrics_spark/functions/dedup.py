@@ -1607,16 +1607,15 @@ def embedding_incremental_pairs(
             "vec_id",
             broadcast_probe=broadcast_batch,
         )
-    cand = (
-        en.join(
-            entries_cor.select(
-                "band", "bucket", F.col("vec_id").alias("id_corpus")
-            ),
-            ["band", "bucket"],
-        )
-        .select("id_new", "id_corpus")
-        .distinct()
-    )
+    # r06: no distinct on the candidate stream — a pair matching in
+    # multiple bands duplicates only ~3% of candidate rows (measured
+    # at sf1.0: 1.28M -> 1.24M), far cheaper to verify twice than to
+    # shuffle the whole stream for dedup; the final output (tiny,
+    # post-threshold) is dedup'd instead (see tail of this function)
+    cand = en.join(
+        entries_cor.select("band", "bucket", F.col("vec_id").alias("id_corpus")),
+        ["band", "bucket"],
+    ).select("id_new", "id_corpus")
     if broadcast_batch:
         # candidates feed the verify join AND the runtime filter; lazy
         # persist so the corpus-entries probe runs once, not twice
@@ -1652,6 +1651,10 @@ def embedding_incremental_pairs(
         .withColumn("cos6", cos)
         .filter(F.col("cos6") >= threshold)
         .select("id_new", "id_corpus", "cos6")
+        # dedup of multi-band matches, moved AFTER the threshold
+        # filter (r06): distinct over the small verified output
+        # instead of the full candidate stream
+        .distinct()
     )
 
 

@@ -274,8 +274,15 @@ def with_repetition_features(
     zero shuffle — instead of paying the explode + two shuffles + join
     for a column it discards."""
     c = F.col(text_col)
-    toks = tokens(c)
-    n_tokens = token_count(c)
+    # n_tokens from the LOWERED normalization (value-identical —
+    # lower() preserves whitespace) so the ws_norm(lower) subtree is
+    # shared with the token array instead of a second \s+ pass (r06;
+    # same trick as with_quality_features)
+    lowered = ws_norm(F.lower(c))
+    toks = F.split(lowered, " ")
+    n_tokens = (
+        F.when(F.length(lowered) == 0, F.lit(0)).otherwise(F.size(toks)).cast("long")
+    )
     base = df.withColumn("_toks", toks).withColumn("n_tokens", n_tokens).withColumn(
         "dup_word_frac",
         F.round(

@@ -41,6 +41,18 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # scan split size (guide §6.1), env-parameterised: the local
+        # default is sized to this sandbox's inputs (tables are single
+        # files of 5-130 MB with 2-6 row groups; the 128m default read
+        # lineitem's six row groups as ONE task, serializing every
+        # lineitem scan). On a real cluster with 100 GB+ inputs set
+        # SPARK_GRAFT_MAX_PARTITION_BYTES=512m-1g — large sequential
+        # splits cut task overhead and the map-task count feeding
+        # shuffles (§2.2); 16m only makes sense where files are tiny.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     # one compute thread per python worker: N workers each spinning up
     # an OpenMP/Arrow pool of machine-width oversubscribes the box
