@@ -782,19 +782,76 @@ def simhash_pairs(
             first_match
         )
     ham = F.bit_count(sa.bitwiseXOR(sb))
+    # id-pair expansion of the surviving signature pairs in ONE
+    # vectorized mapInArrow kernel (r06): the JVM double explode
+    # re-materialized the b-side member array once per a-side member
+    # (23M output pairs cost far more than 23M rows' worth of copies);
+    # the kernel computes the cross products with numpy repeat/gather,
+    # chunked to bound memory. least/greatest ordering is applied as
+    # np.minimum/maximum — integers, bit-exact.
+    import numpy as np
+    import pyarrow as pa
+
+    def expand_gen(batches):
+        schema = pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]
+        )
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            a_col = batch.column("_aids")
+            b_col = batch.column("_bids")
+            h = batch.column("hamming").to_numpy(zero_copy_only=False).astype(np.int32)
+            flat_a = np.asarray(a_col.flatten(), dtype=np.int64)
+            flat_b = np.asarray(b_col.flatten(), dtype=np.int64)
+            la = a_col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            lb = b_col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            oa = np.zeros(n, dtype=np.int64)
+            ob = np.zeros(n, dtype=np.int64)
+            np.cumsum(la[:-1], out=oa[1:])
+            np.cumsum(lb[:-1], out=ob[1:])
+            cnt = la * lb
+            # chunk rows so one output slice stays ~4M pairs
+            lo = 0
+            while lo < n:
+                hi = lo
+                acc = 0
+                while hi < n and (acc == 0 or acc + cnt[hi] <= 4_000_000):
+                    acc += cnt[hi]
+                    hi += 1
+                c = cnt[lo:hi]
+                total = int(c.sum())
+                if total == 0:
+                    lo = hi
+                    continue
+                row_of = np.repeat(np.arange(lo, hi), c)
+                starts = np.zeros(hi - lo, dtype=np.int64)
+                np.cumsum(c[:-1], out=starts[1:])
+                p = np.arange(total, dtype=np.int64) - np.repeat(starts, c)
+                nb_r = lb[row_of]
+                x = flat_a[oa[row_of] + p // nb_r]
+                y = flat_b[ob[row_of] + p % nb_r]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.minimum(x, y), pa.int64()),
+                        pa.array(np.maximum(x, y), pa.int64()),
+                        pa.array(h[row_of], pa.int32()),
+                    ],
+                    schema=schema,
+                )
+                lo = hi
+
     across = (
         sig_pairs.filter(first_match == F.col("band"))
         .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select(
-            F.explode(F.col("a.ids")).alias("x"), F.col("b.ids").alias("_bids"), "hamming"
-        )
-        .select("x", F.explode("_bids").alias("y"), "hamming")
-        .select(
-            F.least("x", "y").alias("id_a"),
-            F.greatest("x", "y").alias("id_b"),
+            F.col("a.ids").alias("_aids"),
+            F.col("b.ids").alias("_bids"),
             "hamming",
         )
+        .mapInArrow(expand_gen, "id_a long, id_b long, hamming int")
     )
     return within.unionByName(across).filter(
         F.col("id_a") != F.col("id_b")  # dirty-input guard
