@@ -740,15 +740,72 @@ def simhash_pairs(
     width = -(-SIMHASH_BITS // n_bands)  # ceil, same as band entries
     s = simhash(docs, id_col, text_col)
     groups = s.groupBy("simhash").agg(F.sort_array(F.collect_list("id")).alias("ids"))
-    # hamming-0 pairs: all (i < j) pairs inside one signature group
-    g2 = groups.filter(F.size("ids") >= 2)
-    e1 = g2.select("ids", F.posexplode("ids").alias("i", "id_a"))
-    within = e1.select(
-        "id_a",
-        F.explode(
-            F.slice(F.col("ids"), F.col("i") + 2, F.size("ids") - F.col("i") - 1)
-        ).alias("id_b"),
-    ).select("id_a", "id_b", F.lit(0).cast("int").alias("hamming"))
+    # hamming-0 pairs: all (i < j) pairs inside one signature group.
+    # r06: same vectorized treatment as the cross-signature leg below —
+    # the JVM posexplode + slice form allocated a fresh (L-1-i)-element
+    # array copy per member (O(pairs) element copies BEFORE the explode
+    # even ran; the within-family pairs are ~all of the output at bench
+    # scale). The kernel expands each sorted member array to its i<j
+    # combinations with two nested repeat/gather levels — integers,
+    # bit-exact, chunked to bound one output slice.
+    import numpy as np
+    import pyarrow as pa
+
+    def comb_gen(batches):
+        schema = pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]
+        )
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column("ids")
+            flat = np.asarray(col.flatten(), dtype=np.int64)
+            ln = col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+            off = np.zeros(n, dtype=np.int64)
+            np.cumsum(ln[:-1], out=off[1:])
+            cnt = ln * (ln - 1) // 2
+            lo = 0
+            while lo < n:
+                hi = lo
+                acc = 0
+                while hi < n and (acc == 0 or acc + cnt[hi] <= 4_000_000):
+                    acc += cnt[hi]
+                    hi += 1
+                c = cnt[lo:hi]
+                total = int(c.sum())
+                if total == 0:
+                    lo = hi
+                    continue
+                # level 1: one (group, i) row per left index i in 0..L-2
+                gi = ln[lo:hi] - 1
+                g_of = np.repeat(np.arange(lo, hi), gi)
+                s1 = np.zeros(hi - lo, dtype=np.int64)
+                np.cumsum(gi[:-1], out=s1[1:])
+                i_idx = np.arange(int(gi.sum()), dtype=np.int64) - np.repeat(s1, gi)
+                # level 2: each (group, i) contributes L-1-i right indices
+                c2 = ln[g_of] - 1 - i_idx
+                s2 = np.zeros(g_of.size, dtype=np.int64)
+                np.cumsum(c2[:-1], out=s2[1:])
+                j_off = np.arange(total, dtype=np.int64) - np.repeat(s2, c2)
+                gg = np.repeat(g_of, c2)
+                ii = np.repeat(i_idx, c2)
+                jj = ii + 1 + j_off
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(flat[off[gg] + ii], pa.int64()),
+                        pa.array(flat[off[gg] + jj], pa.int64()),
+                        pa.array(np.zeros(total, dtype=np.int32), pa.int32()),
+                    ],
+                    schema=schema,
+                )
+                lo = hi
+
+    within = (
+        groups.filter(F.size("ids") >= 2)
+        .select("ids")
+        .mapInArrow(comb_gen, "id_a long, id_b long, hamming int")
+    )
 
     def band_slice(sig: Column, b: int) -> Column:
         return F.shiftright(sig, b * width).bitwiseAND(F.lit((1 << width) - 1))
@@ -789,9 +846,6 @@ def simhash_pairs(
     # the kernel computes the cross products with numpy repeat/gather,
     # chunked to bound memory. least/greatest ordering is applied as
     # np.minimum/maximum — integers, bit-exact.
-    import numpy as np
-    import pyarrow as pa
-
     def expand_gen(batches):
         schema = pa.schema(
             [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())]
