@@ -226,6 +226,61 @@ def test_simhash_identical_docs_distance_zero(spark):
     assert len(rows) == 1 and rows[0]["hamming"] == 0
 
 
+def test_simhash_within_kernel_chunk_boundaries(spark):
+    """The vectorized within-family combination kernel chunks its
+    output at ~4M pairs: two identical-text families big enough that
+    they cannot share a chunk must still emit exactly C(m,2) ordered
+    pairs each, no duplicates, no id_a >= id_b."""
+    m = 2200  # C(2200,2) = 2,419,900 per family -> 2 chunks total
+    df = spark.range(2 * m).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("alpha beta gamma"))
+        .otherwise(F.lit("delta epsilon zeta"))
+        .alias("text"),
+    )
+    pairs = D.simhash_pairs(df, 0)
+    n_expected = 2 * (m * (m - 1) // 2)
+    agg = pairs.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("id_a", "id_b").alias("nd"),
+        F.sum((F.col("id_a") >= F.col("id_b")).cast("int")).alias("bad_order"),
+        F.max("hamming").alias("max_ham"),
+    ).collect()[0]
+    assert agg["n"] == n_expected, agg
+    assert agg["nd"] == n_expected  # no duplicate pairs across chunks
+    assert agg["bad_order"] == 0
+    assert agg["max_ham"] == 0
+
+
+def test_embed_lsh_bucket_spans_arrow_batches(spark):
+    """The partition-wise bucket scorer must reassemble a (band,
+    bucket) run that spans multiple arrow batches: force 64-row
+    batches under a 300-member bucket and check the exact pair set
+    against C(300,2) per family."""
+    m, k = 300, 5
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": list(range(m + k)),
+                "embedding": [[1.0] * 64] * m + [[1.0, -1.0] * 32] * k,
+            }
+        )
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got = {
+            (r["id_a"], r["id_b"], r["cos6"])
+            for r in D.embedding_neardup_lsh(emb, 0.3, dim=64).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    want = {(a, b, 1.0) for a in range(m) for b in range(a + 1, m)} | {
+        (a, b, 1.0) for a in range(m, m + k) for b in range(a + 1, m + k)
+    }
+    assert got == want
+
+
 def test_ann_ivf_recall(spark, emb):
     queries = S.make_queries(emb, 50)
     exact = S.cosine_topk(emb, queries, 5).collect()
