@@ -1539,7 +1539,10 @@ def _cap_probed_index_buckets(
 
 
 def minhash_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The persistent LSH index of a corpus: ``(entries, shh)``.
 
@@ -1550,8 +1553,20 @@ def minhash_index(
     (band, bucket) and by id respectively, e.g. as Iceberg tables) and
     each new crawl batch joins against them WITHOUT recomputing or
     re-pairing the corpus — the property that makes recurring-crawl
-    dedup O(batch) instead of O(corpus) per run."""
-    shh = shingle_hashes(docs, id_col, text_col, NGRAM_N)
+    dedup O(batch) instead of O(corpus) per run.
+
+    ``shh`` is persisted (lazy, MEMORY_AND_DISK): both returned tables
+    derive from it, so any caller that actions both — the incremental
+    probe's entries+verify legs, or the ingest sink's two index
+    writes — would otherwise run the shingle kernel over the whole
+    corpus twice. In the stored-index production deployment the
+    parquet/Iceberg write IS that materialization; the persist is the
+    in-session analog. Per-micro-batch callers pass ``cache_registry``
+    (same contract as :func:`minhash_lsh_pairs`) and unpersist after
+    their action."""
+    shh = shingle_hashes(docs, id_col, text_col, NGRAM_N).persist()
+    if cache_registry is not None:
+        cache_registry.append(shh)
     sig = minhash_signatures_from_hashes(shh, MINHASH_K)
     return _minhash_band_entries(sig), shh
 

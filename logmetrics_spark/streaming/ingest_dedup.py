@@ -141,7 +141,7 @@ class IngestDedupSink:
             kept.write.mode("overwrite").parquet(
                 os.path.join(self.kept_dir, part)
             )
-            entries_new, shh_new = D.minhash_index(kept)
+            entries_new, shh_new = D.minhash_index(kept, cache_registry=caches)
             entries_new.write.mode("overwrite").parquet(
                 os.path.join(self.entries_dir, part)
             )
