@@ -1732,6 +1732,7 @@ def embedding_index(
     dim: int = 64,
     n_planes: int = EMB_LSH_PLANES,
     n_bands: int = EMB_LSH_BANDS,
+    cache_registry: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The persistent hyperplane-LSH index of an embedding corpus:
     ``(entries, sigtab)`` — the embedding-side twin of
@@ -1747,9 +1748,19 @@ def embedding_index(
     re-pairing the corpus. Signature independence (a vector's
     signature depends only on itself and the deterministic planes)
     makes index-then-filter == filter-then-index — the property the
-    oracle relies on."""
+    oracle relies on.
+
+    The signature table is persisted (lazy MEMORY_AND_DISK, same
+    contract as :func:`minhash_index`): both returned tables derive
+    from it, so a caller actioning both — the incremental probe's
+    candidate and verify legs — would otherwise run the full corpus
+    scan + hyperplane-matmul kernel twice. The production analog is
+    the written-once snapshot above; per-micro-batch callers pass
+    ``cache_registry`` and unpersist after their action."""
     planes = hyperplanes(dim, n_planes)
-    s = with_hyperplane_signature(emb, planes, n_bands)
+    s = with_hyperplane_signature(emb, planes, n_bands).persist()
+    if cache_registry is not None:
+        cache_registry.append(s)
     entries = _hyperplane_band_entries(s, n_bands)
     sigtab = s.select("vec_id", "embedding", "nrm")
     return entries, sigtab
