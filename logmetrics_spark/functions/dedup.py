@@ -1866,10 +1866,49 @@ def embedding_incremental_pairs(
         lambda acc, v: acc + v,
     )
     cos = F.round(dot / F.nullif(F.col("_na") * F.col("_nb"), F.lit(0.0)), 6)
-    return (
+    # r06: numpy margin prefilter between the vector joins and the
+    # exact fold (the embedding_neardup_lsh pattern, guide §4.2/§8).
+    # The joined candidate rows already carry both vectors, so one
+    # row-wise float64 dot per pair keeps only pairs within MARGIN of
+    # the threshold (2e-6 — covers the <=1e-13 numpy-vs-fold pairwise-
+    # summation divergence plus the 6dp rounding bucket: no pair that
+    # rounds to >= threshold can be lost); survivors pass THROUGH the
+    # kernel with their vectors, so the exact JVM zip_with fold +
+    # HALF_UP round — bit-identical to v1 — runs on the ~3-5%
+    # survivors instead of every candidate. Zero-norm pairs are
+    # dropped in the kernel exactly as the JVM nullif path drops them.
+    import numpy as np
+    import pyarrow as pa
+
+    margin = 2e-6
+
+    def margin_gen(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            a = np.asarray(batch.column("_ea").flatten(), dtype=np.float64).reshape(n, -1)
+            b = np.asarray(batch.column("_eb").flatten(), dtype=np.float64).reshape(n, -1)
+            na = batch.column("_na").to_numpy(zero_copy_only=False)
+            nb = batch.column("_nb").to_numpy(zero_copy_only=False)
+            denom = na * nb
+            raw = np.einsum("ij,ij->i", a, b) / np.where(denom == 0.0, 1.0, denom)
+            keep = (denom != 0.0) & (raw >= threshold - margin)
+            yield batch.filter(pa.array(keep))
+
+    joined = (
         cand.join(ea, "id_new")
         .join(eb, "id_corpus")
-        .withColumn("cos6", cos)
+        # pin the column order the kernel passes through (join keys
+        # get reordered by the equi-joins)
+        .select("id_new", "id_corpus", "_ea", "_na", "_eb", "_nb")
+    )
+    surv = joined.mapInArrow(
+        margin_gen,
+        "id_new long, id_corpus long, _ea array<float>, _na double, _eb array<float>, _nb double",
+    )
+    return (
+        surv.withColumn("cos6", cos)
         .filter(F.col("cos6") >= threshold)
         .select("id_new", "id_corpus", "cos6")
         # dedup of multi-band matches, moved AFTER the threshold
