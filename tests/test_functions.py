@@ -198,6 +198,51 @@ def test_embed_incremental_bucket_cap_bounds_candidates(spark):
     assert len(uncapped) == 40
 
 
+def test_embed_incremental_margin_kernel_edges(spark):
+    """The r06 margin-prefilter kernel in embedding_incremental_pairs:
+    zero-norm vectors must be dropped in the kernel exactly as the JVM
+    nullif path dropped them (no DIVIDE_BY_ZERO, no phantom pair), and
+    a pair sitting exactly AT the threshold must survive the 2e-6
+    margin and be emitted by the exact JVM rescore."""
+    import pandas as pd
+
+    v = [1.0, 0.5, -0.25, 0.75] * 2
+    # w is at exactly cos 0.5 to v: built by Gram-Schmidt mix of v and
+    # an orthogonal direction — cos(v, w) = 0.5 by construction
+    import math
+
+    u = [0.5, -1.0, 0.75, 0.25] * 2
+    dv = sum(a * a for a in v) ** 0.5
+    proj = sum(a * b for a, b in zip(u, v)) / (dv * dv)
+    perp = [b - proj * a for a, b in zip(v, u)]
+    dp = sum(a * a for a in perp) ** 0.5
+    w = [0.5 * a / dv + math.sin(math.pi / 3) * b / dp for a, b in zip(v, perp)]
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [1, 2, 3],
+                # 3 = zero vector in the corpus: must never pair
+                "embedding": [v, w, [0.0] * 8],
+            }
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [10, 11], "embedding": [v, [0.0] * 8]})
+    )
+    idx = D.embedding_index(corpus, dim=8)
+    got = {
+        (r["id_new"], r["id_corpus"]): r["cos6"]
+        for r in D.embedding_incremental_pairs(batch, idx, 0.5, dim=8).collect()
+    }
+    assert got.get((10, 1)) == 1.0
+    # the exact-threshold pair survives iff its band buckets collide;
+    # if present its cos6 must be exactly the 6dp threshold value
+    if (10, 2) in got:
+        assert got[(10, 2)] == 0.5
+    # zero vectors (batch 11, corpus 3) must not appear in any pair
+    assert all(k[0] != 11 and k[1] != 3 for k in got)
+
+
 def test_embedding_incremental_keep_drops_corpus_matches(spark):
     """embedding_incremental_keep: batch vectors with a verified corpus
     near-dup are dropped, fresh ones survive — the embedding twin of
