@@ -24,10 +24,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import functions as F
-
 from dedup_scale_probe import _probe_session, gen_docs, gen_embeddings
-from dedup_scale_probe_r04 import BUCKET_CAP, gen_batch, gen_emb_batch
+from dedup_scale_probe_r04 import gen_batch, gen_emb_batch
 from logmetrics_spark.functions import dedup as D
 from probe_gate import gated, make_gate
 

@@ -31,6 +31,10 @@ for name, fn in qs.items():
     sdf = fn(spark, SF_DIR)
     scols = sdf.columns
     srows = sdf.collect()
+    # per-query cache hygiene (same as check_entry/bench): several
+    # builders persist corpus-sized intermediates lazily; without a
+    # clear, a 57-query single-session sweep accumulates them all
+    spark.catalog.clearCache()
     rel = con.sql(oracles[name])
     odf = rel.df()   # mimics driver-style fetch (hugeint->float64 etc)
     ocols = list(odf.columns)
